@@ -1,0 +1,381 @@
+"""Pure functional RBM operations (the TPU compute path).
+
+Every training / inference step of the framework is expressed here as a
+pure function ``(state, key, inputs, schedule) -> (state', outputs)`` over
+an :class:`RBMState` pytree. Callers (the object shells in
+``multimodal_idbn_tpu.models`` and the fused training loops) jit these;
+Gibbs / mean-field chains run as ``lax.scan`` over precomputed schedule
+arrays so the whole chain stays on-device — the reference runs the same
+chains as per-step Python loops on the host (reference rbm.py:275-297,
+:337-365, :393-399).
+
+Semantics reproduce the reference bit-for-bit in structure (which tensors
+are probabilities vs. samples, update order, momentum handling) per
+SURVEY.md §2.1; each function cites the reference lines it mirrors.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_idbn_tpu.ops import schedules
+from multimodal_idbn_tpu.ops.sampling import (
+    SoftmaxGroups,
+    apply_softmax_groups,
+    clamp_mask,
+    sample_bernoulli,
+    sample_visible,
+)
+
+Array = jax.Array
+
+
+class RBMState(NamedTuple):
+    """Learnable parameters + momentum buffers of one RBM (rbm.py:70-79)."""
+
+    w: Array     # [V, H]
+    hb: Array    # [H]  hidden bias
+    vb: Array    # [V]  visible bias
+    w_m: Array   # momentum buffers, same shapes
+    hb_m: Array
+    vb_m: Array
+
+
+def init_rbm_state(key: Array, num_visible: int, num_hidden: int,
+                   dtype=jnp.float32) -> RBMState:
+    """W ~ N(0,1)/sqrt(max(1,V)); biases and momentum buffers zero
+    (reference rbm.py:70-79)."""
+    w = jax.random.normal(key, (num_visible, num_hidden), dtype) / jnp.sqrt(
+        jnp.asarray(max(1, num_visible), dtype))
+    z_h = jnp.zeros((num_hidden,), dtype)
+    z_v = jnp.zeros((num_visible,), dtype)
+    return RBMState(w=w, hb=z_h, vb=z_v,
+                    w_m=jnp.zeros_like(w), hb_m=z_h, vb_m=z_v)
+
+
+# ---------------------------------------------------------------------------
+# Conditionals p(h|v), p(v|h)
+# ---------------------------------------------------------------------------
+
+def hidden_logits(state: RBMState, v: Array, T=1.0) -> Array:
+    return (v @ state.w + state.hb) / jnp.maximum(1e-6, T)
+
+
+def hidden_probs(state: RBMState, v: Array, T=1.0) -> Array:
+    """p(h|v) = sigmoid((vW + b_h)/max(1e-6,T)) (rbm.py:81-92)."""
+    return jax.nn.sigmoid(hidden_logits(state, v, T))
+
+
+def visible_logits(state: RBMState, h: Array, T=1.0) -> Array:
+    """(h Wᵀ + b_v)/max(1e-6,T) (rbm.py:94-96)."""
+    return (h @ state.w.T + state.vb) / jnp.maximum(1e-6, T)
+
+
+def visible_probs(state: RBMState, h: Array, T=1.0,
+                  groups: SoftmaxGroups = ()) -> Array:
+    """p(v|h): sigmoid of logits with softmax groups on the *logits*
+    (rbm.py:98-116)."""
+    logits = visible_logits(state, h, T)
+    return apply_softmax_groups(jax.nn.sigmoid(logits), logits, groups)
+
+
+def free_energy(state: RBMState, v: Array) -> Array:
+    """F(v) = −v·b_v − Σ_j softplus(b_h + vW)_j.
+
+    The reference keeps this as a free function (energy_utils.py:19-28) and
+    never attaches it to RBM; we expose it here and on the shell so the
+    best-of-K selector can optionally use it (SURVEY.md §2.1(10)).
+    """
+    return -(v @ state.vb) - jnp.sum(jax.nn.softplus(state.hb + v @ state.w), axis=1)
+
+
+def gibbs_step(state: RBMState, key: Array, v: Array,
+               sample_h: bool = True, sample_v: bool = True,
+               groups: SoftmaxGroups = ()):
+    """One v -> h -> v' Gibbs step; returns (v_next, v_prob, h, h_prob)
+    (rbm.py:159-178)."""
+    kh, kv = jax.random.split(key)
+    h_prob = hidden_probs(state, v)
+    h = sample_bernoulli(kh, h_prob) if sample_h else h_prob
+    v_prob = visible_probs(state, h, groups=groups)
+    v_next = sample_visible(kv, v_prob, groups) if sample_v else v_prob
+    return v_next, v_prob, h, h_prob
+
+
+# ---------------------------------------------------------------------------
+# CD-k training update (rbm.py:181-227)
+# ---------------------------------------------------------------------------
+
+def _negative_chain(state: RBMState, key: Array, h0: Array, cd: int,
+                    groups: SoftmaxGroups):
+    """Run the CD negative chain h0 -> (v, v_prob, h_prob) for ``cd`` steps.
+
+    Per step (rbm.py:204-208): v_prob -> v=sample(v_prob) -> h_prob ->
+    h=sample(h_prob). Runs as a scan over per-step keys.
+    """
+    keys = jax.random.split(key, cd)
+
+    def body(carry, step_key):
+        h, _, _, _ = carry
+        kv, kh = jax.random.split(step_key)
+        v_prob = visible_probs(state, h, groups=groups)
+        v = sample_visible(kv, v_prob, groups)
+        h_prob = hidden_probs(state, v)
+        h = sample_bernoulli(kh, h_prob)
+        return (h, v, v_prob, h_prob), None
+
+    B = h0.shape[0]
+    v0 = jnp.zeros((B, state.vb.shape[0]), h0.dtype)
+    (h, v, v_prob, h_prob), _ = jax.lax.scan(
+        body, (h0, v0, v0, h0), keys)
+    return v, v_prob, h_prob
+
+
+def cd_update(state: RBMState, key: Array, data: Array, *,
+              lr, mom, weight_decay, cd: int,
+              sparsity: bool = False, sparsity_factor: float = 0.05,
+              groups: SoftmaxGroups = ()) -> Tuple[RBMState, Array]:
+    """One CD-k parameter update on a batch; returns (new_state, mse loss).
+
+    Exact update order of reference rbm.py:181-227 (SURVEY.md §2.1(3)):
+    positive statistics from probabilities, negative association from the
+    *sampled* v and *probabilistic* h, momentum-buffer-then-apply updates,
+    sparsity added to the hidden momentum buffer before applying.
+    ``lr``/``mom`` arrive as traced scalars so one compile serves all epochs.
+    """
+    k_pos, k_neg = jax.random.split(key)
+    bsz = data.shape[0]
+
+    pos_h = hidden_probs(state, data)              # probabilities (:199)
+    pos_assoc = data.T @ pos_h                     # (:200)
+
+    h0 = sample_bernoulli(k_pos, pos_h)            # chain start sampled (:203)
+    v, v_prob, h_prob = _negative_chain(state, k_neg, h0, cd, groups)
+    neg_assoc = v.T @ h_prob                       # sampled v, prob h (:209)
+
+    w_m = mom * state.w_m + lr * ((pos_assoc - neg_assoc) / bsz
+                                  - weight_decay * state.w)       # (:212)
+    w = state.w + w_m                                             # (:213)
+
+    hb_m = mom * state.hb_m + lr * (pos_h.sum(0) - h_prob.sum(0)) / bsz  # (:216)
+    if sparsity:                                                  # (:217-219)
+        hb_m = hb_m + (-lr * (pos_h.mean(0) - sparsity_factor))
+    hb = state.hb + hb_m                                          # (:220)
+
+    vb_m = mom * state.vb_m + lr * (data.sum(0) - v.sum(0)) / bsz  # (:223)
+    vb = state.vb + vb_m                                          # (:224)
+
+    loss = jnp.mean((data - v_prob) ** 2)                         # (:226)
+    return RBMState(w, hb, vb, w_m, hb_m, vb_m), loss
+
+
+# ---------------------------------------------------------------------------
+# Conditional samplers (rbm.py:240-400)
+# ---------------------------------------------------------------------------
+
+def conditional_gibbs(state: RBMState, key: Array, v_known: Array,
+                      known_mask: Array, *, n_steps: int = 30,
+                      sample_h: bool = False, sample_v: bool = False,
+                      groups: SoftmaxGroups = ()) -> Array:
+    """Plain conditional Gibbs / mean-field chain (rbm.py:369-400).
+
+    Unknown coordinates start U(0,1); known ones are re-clamped each step.
+    Returns ``visible_probs(hidden_probs(v))`` — the reference's extra
+    final mean-field pass whose output is NOT re-clamped (rbm.py:400).
+    """
+    k0, kloop = jax.random.split(key)
+    km = known_mask
+    v = v_known * km + (1.0 - km) * jax.random.uniform(k0, v_known.shape,
+                                                       v_known.dtype)
+    keys = jax.random.split(kloop, max(1, int(n_steps)))
+
+    def body(v, step_key):
+        kh, kv = jax.random.split(step_key)
+        h_prob = hidden_probs(state, v)
+        h = sample_bernoulli(kh, h_prob) if sample_h else h_prob
+        v_prob = visible_probs(state, h, groups=groups)
+        v = clamp_mask(v_prob, v_known, km)
+        if sample_v:
+            v = clamp_mask(sample_visible(kv, v, groups), v_known, km)
+        return v, None
+
+    if int(n_steps) > 0:
+        v, _ = jax.lax.scan(body, v, keys)
+    return visible_probs(state, hidden_probs(state, v), groups=groups)
+
+
+def conditional_gibbs_annealed(state: RBMState, key: Array, v_known: Array,
+                               known_mask: Array, *, n_steps: int = 40,
+                               T0: float = 2.5, T1: float = 1.0,
+                               sample_h_until: int = 20,
+                               sample_v_every: int = 0,
+                               final_meanfield: bool = True,
+                               groups: SoftmaxGroups = ()) -> Array:
+    """Annealed conditional Gibbs (rbm.py:240-298).
+
+    Linear T0→T1 with the last 3 steps sharpened to min(0.9, T); h sampled
+    stochastically while ``t < sample_h_until``; optional periodic v
+    sampling; optional final T=1 mean-field pass (re-clamped, rbm.py:294-296).
+    """
+    n_steps = int(n_steps)
+    k0, kloop = jax.random.split(key)
+    km = known_mask
+    v = v_known * km + (1.0 - km) * jax.random.uniform(k0, v_known.shape,
+                                                       v_known.dtype)
+    hot = int(max(0, min(n_steps, sample_h_until)))
+    T_arr = schedules.gibbs_annealed_temperature(n_steps, T0, T1)
+    # Static per-step masks (rbm.py:282, :285).
+    hot_mask = jnp.arange(n_steps) < hot
+    if sample_v_every > 0:
+        sv_mask = hot_mask & (jnp.arange(n_steps) % sample_v_every == 0)
+    else:
+        sv_mask = jnp.zeros((n_steps,), bool)
+    keys = jax.random.split(kloop, max(1, n_steps))
+
+    def body(v, xs):
+        Tt, is_hot, do_sv, step_key = xs
+        kh, kv = jax.random.split(step_key)
+        h_prob = hidden_probs(state, v, T=Tt)
+        h = jnp.where(is_hot, sample_bernoulli(kh, h_prob), h_prob)
+        v_prob = visible_probs(state, h, T=Tt, groups=groups)
+        v_new = jnp.where(do_sv, sample_visible(kv, v_prob, groups), v_prob)
+        return clamp_mask(v_new, v_known, km), None
+
+    if n_steps > 0:
+        v, _ = jax.lax.scan(body, v, (T_arr, hot_mask, sv_mask, keys))
+    if final_meanfield:
+        h_prob = hidden_probs(state, v, T=1.0)
+        v = clamp_mask(visible_probs(state, h_prob, T=1.0, groups=groups),
+                       v_known, km)
+    return v
+
+
+def noisy_meanfield_annealed(state: RBMState, key: Array, v_known: Array,
+                             known_mask: Array, *, n_steps: int = 72,
+                             T0: float = 3.0, T1: float = 1.0,
+                             sigma0: float = 0.9, hot_frac: float = 0.7,
+                             sharpen_last: int = 3, T_cold_plus: float = 0.9,
+                             mu_k: Optional[Array] = None, eta0: float = 0.15,
+                             groups: SoftmaxGroups = ()) -> Array:
+    """Noisy mean-field annealing with optional μ-pull (rbm.py:300-367).
+
+    Gaussian noise σ_t = σ0·(1 − t/(n−1)) is added to BOTH h- and v-logits;
+    softmax groups apply to the *noisy* v-logits; μ-pull (if ``mu_k`` given)
+    blends the first Dz coordinates toward per-class means with decaying
+    η_t. ``hot_frac`` is accepted but unused inside, reproducing the
+    reference's dead parameter (rbm.py:335, SURVEY.md §2.1(6)).
+
+    Unlike the reference (which smuggles μ-pull through a mutated
+    ``self._mu_pull`` attribute, rbm.py:359-363), ``mu_k``/``eta0`` are
+    explicit arguments; the object shell keeps the attribute for API compat.
+    """
+    del hot_frac  # computed but never used in the reference (rbm.py:335)
+    n_steps = int(n_steps)
+    k0, kloop = jax.random.split(key)
+    km = known_mask
+    v = v_known * km + (1.0 - km) * jax.random.uniform(k0, v_known.shape,
+                                                       v_known.dtype)
+    T_arr = schedules.annealed_temperature(n_steps, T0, T1, sharpen_last,
+                                           T_cold_plus)
+    sig_arr = schedules.noise_sigma(n_steps, sigma0)
+    eta_arr = schedules.mu_pull_eta(n_steps, eta0)
+    keys = jax.random.split(kloop, max(1, n_steps))
+    noisy = bool(sigma0 > 0)  # static: skip RNG entirely when σ0 == 0
+
+    def body(v, xs):
+        Tt, sig_t, eta_t, step_key = xs
+        kh, kv = jax.random.split(step_key)
+        h_logits = hidden_logits(state, v, T=Tt)
+        if noisy:
+            h_logits = h_logits + jax.random.normal(kh, h_logits.shape,
+                                                    h_logits.dtype) * sig_t
+        h_prob = jax.nn.sigmoid(h_logits)
+        v_logits = visible_logits(state, h_prob, T=Tt)
+        if noisy:
+            v_logits = v_logits + jax.random.normal(kv, v_logits.shape,
+                                                    v_logits.dtype) * sig_t
+        v_prob = apply_softmax_groups(jax.nn.sigmoid(v_logits), v_logits,
+                                      groups)
+        if mu_k is not None:
+            Dz = mu_k.shape[1]
+            v_prob = v_prob.at[:, :Dz].set(
+                (1.0 - eta_t) * v_prob[:, :Dz] + eta_t * mu_k)
+        return clamp_mask(v_prob, v_known, km), None
+
+    if n_steps > 0:
+        v, _ = jax.lax.scan(body, v, (T_arr, sig_arr, eta_arr, keys))
+    return v
+
+
+# ---------------------------------------------------------------------------
+# Auxiliary clamped CD (rbm.py:402-483)
+# ---------------------------------------------------------------------------
+
+def clamped_cd_update(state: RBMState, key: Array, v_known: Array,
+                      known_mask: Array, *, lr, mom, weight_decay,
+                      cd: int = 1, cond_init_steps: int = 50,
+                      sample_h: bool = True, sample_v: bool = False,
+                      reclamp_negative: bool = True,
+                      aux_lr_mult: float = 0.3, use_noisy_init: bool = True,
+                      mu_k: Optional[Array] = None, eta0: float = 0.15,
+                      groups: SoftmaxGroups = ()) -> Tuple[RBMState, Array]:
+    """Auxiliary clamped-CD update (rbm.py:402-483, SURVEY.md §2.1(7)).
+
+    Positive state from conditional inference (noisy mean-field by default,
+    with the reference's hardcoded annealing constants rbm.py:443-448);
+    negative chain clones it; all three updates scaled by ``aux_lr_mult``
+    (weight decay inside the scaled bracket, rbm.py:476).
+    """
+    k_init, k_neg = jax.random.split(key)
+    bsz = v_known.shape[0]
+
+    if use_noisy_init:
+        v_plus = noisy_meanfield_annealed(
+            state, k_init, v_known, known_mask,
+            n_steps=max(10, int(cond_init_steps)),
+            T0=3.0, T1=1.0, sigma0=0.9, hot_frac=0.7, sharpen_last=2,
+            T_cold_plus=0.9, mu_k=mu_k, eta0=eta0, groups=groups)
+    else:
+        v_plus = conditional_gibbs(
+            state, k_init, v_known, known_mask, n_steps=int(cond_init_steps),
+            sample_h=sample_h, sample_v=sample_v, groups=groups)
+
+    h_plus = hidden_probs(state, v_plus)
+    pos_assoc = v_plus.T @ h_plus
+
+    keys = jax.random.split(k_neg, max(1, int(cd)))
+
+    def body(v_neg, step_key):
+        kh, kv = jax.random.split(step_key)
+        h_prob = hidden_probs(state, v_neg)
+        h = sample_bernoulli(kh, h_prob) if sample_h else h_prob
+        v_prob = visible_probs(state, h, groups=groups)
+        if reclamp_negative:
+            v_neg = clamp_mask(v_prob, v_known, known_mask)
+        else:
+            v_neg = v_prob
+        if sample_v:
+            v_neg = sample_visible(kv, v_neg, groups)  # NOT re-clamped (:469)
+        return v_neg, None
+
+    v_neg = v_plus
+    if int(cd) > 0:
+        v_neg, _ = jax.lax.scan(body, v_neg, keys)
+
+    h_neg = hidden_probs(state, v_neg)
+    neg_assoc = v_neg.T @ h_neg
+
+    scaled = aux_lr_mult * lr
+    w_m = mom * state.w_m + scaled * ((pos_assoc - neg_assoc) / bsz
+                                      - weight_decay * state.w)
+    w = state.w + w_m
+    hb_m = mom * state.hb_m + scaled * (h_plus.sum(0) - h_neg.sum(0)) / bsz
+    hb = state.hb + hb_m
+    vb_m = mom * state.vb_m + scaled * (v_plus.sum(0) - v_neg.sum(0)) / bsz
+    vb = state.vb + vb_m
+
+    loss = jnp.mean((v_plus - v_neg) ** 2)
+    return RBMState(w, hb, vb, w_m, hb_m, vb_m), loss

@@ -1,0 +1,23 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip behavior (sharded CD statistics, psum reductions) is tested
+with XLA's host-platform device-count trick — the standard way to test
+pjit/shard_map programs without real TPU hardware (SURVEY.md §4).
+
+Must run before the first ``import jax`` anywhere in the test session.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_threefry_partitionable", True)
+# Full-precision f32 matmuls so golden tests compare against the NumPy
+# oracle exactly; production TPU runs use the faster default precision.
+jax.config.update("jax_default_matmul_precision", "highest")
