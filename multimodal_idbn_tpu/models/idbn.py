@@ -1,0 +1,306 @@
+"""iDBN: iterative Deep Belief Network (stack of RBMs) — TPU-native.
+
+API mirror of reference imdbn/models/idbn.py:39-373 (constructor, method
+names, logging cadences, metadata extraction). The training loop differs
+architecturally: by default an entire epoch runs as one fused on-device
+``lax.scan`` (``multimodal_idbn_tpu.ops.dbn_train.idbn_epoch``) instead of
+the reference's per-batch host loop — same math (verified against the
+NumPy oracle), ~one dispatch per epoch.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_idbn_tpu.models.rbm import RBM, as_array
+from multimodal_idbn_tpu.ops import dbn_train
+
+
+class iDBN:
+    """Stack of RBMs with iterative layer-wise training.
+
+    Every layer is updated on every batch of every epoch, with layer i+1's
+    input being the post-update mean-field activations of layer i
+    (reference idbn.py:199-204; SURVEY.md §2.1(8)).
+
+    Attributes mirror the reference (idbn.py:49-58): ``layers``, ``params``,
+    ``dataloader``, ``val_loader``, ``device``, ``wandb_run``, ``features``,
+    ``arch_str``, ``arch_dir``.
+    """
+
+    def __init__(self, layer_sizes: List[int], params: dict, dataloader,
+                 val_loader, device=None, wandb_run=None,
+                 logging_config_path: Optional[str] = None,
+                 seed: Optional[int] = None):
+        self.layers: List[RBM] = []
+        self.params = params
+        self.dataloader = dataloader
+        self.val_loader = val_loader
+        self.device = device  # accepted for API compat; JAX manages placement
+        self.wandb_run = wandb_run
+
+        # Logging config (reference idbn.py:98-110; the default path there
+        # points at a Groundeep file that never ships, so this is usually {}).
+        self.logging_cfg = {}
+        try:
+            import yaml
+            from pathlib import Path
+            cfg_path = (Path(logging_config_path) if logging_config_path
+                        else Path("configs/logging_config.yaml"))
+            if cfg_path.exists():
+                with cfg_path.open("r") as f:
+                    cfg = yaml.safe_load(f)
+                if isinstance(cfg, dict):
+                    self.logging_cfg = cfg
+        except Exception:
+            pass
+
+        self.text_flag = False
+        self.arch_str = "-".join(map(str, layer_sizes))
+        self.arch_dir = os.path.join("logs-idbn",
+                                     f"architecture_{self.arch_str}")
+        os.makedirs(self.arch_dir, exist_ok=True)
+
+        self.cd_k = int(self.params.get("CD", 1))
+        self.sparsity_last = bool(self.params.get("SPARSITY", False))
+        self.sparsity_factor = float(self.params.get("SPARSITY_FACTOR", 0.1))
+
+        # Cache one validation batch (reference idbn.py:123-127).
+        try:
+            self.val_batch, self.val_labels = next(iter(val_loader))
+        except Exception:
+            self.val_batch, self.val_labels = None, None
+
+        # Validation features via the Subset metadata protocol
+        # (reference idbn.py:129-146; broad except intentional — plain
+        # TensorDataset-style loaders have no .indices).
+        self.features = None
+        try:
+            indices = val_loader.dataset.indices
+            base = val_loader.dataset.dataset
+            numeric_labels = np.asarray([base.labels[i] for i in indices],
+                                        np.float32)
+            cumArea_vals = [base.cumArea_list[i] for i in indices]
+            convex_hull = [base.CH_list[i] for i in indices]
+            density_src = getattr(base, "density_list", None)
+            density_vals = ([density_src[i] for i in indices]
+                            if density_src is not None else None)
+            self.features = {
+                "Cumulative Area": np.asarray(cumArea_vals, np.float32),
+                "Convex Hull": np.asarray(convex_hull, np.float32),
+                "Labels": numeric_labels,
+            }
+            if density_vals is not None:
+                self.features["Density"] = np.asarray(density_vals,
+                                                      np.float32)
+        except Exception:
+            pass
+
+        # Build RBM layers (sparsity only on the top layer, idbn.py:149-161).
+        for i in range(len(layer_sizes) - 1):
+            rbm = RBM(
+                num_visible=layer_sizes[i],
+                num_hidden=layer_sizes[i + 1],
+                learning_rate=self.params["LEARNING_RATE"],
+                weight_decay=self.params["WEIGHT_PENALTY"],
+                momentum=self.params["INIT_MOMENTUM"],
+                dynamic_lr=self.params["LEARNING_RATE_DYNAMIC"],
+                final_momentum=self.params["FINAL_MOMENTUM"],
+                sparsity=(self.sparsity_last and i == len(layer_sizes) - 2),
+                sparsity_factor=self.sparsity_factor,
+                seed=None if seed is None else seed + i,
+            )
+            self.layers.append(rbm)
+
+        self.loss_history: List[float] = []
+
+    # -- state plumbing ------------------------------------------------------
+
+    def _states(self):
+        return tuple(r.state for r in self.layers)
+
+    def _set_states(self, states) -> None:
+        for r, s in zip(self.layers, states):
+            r.state = s
+
+    def _sparsity_flags(self):
+        return tuple(bool(r.sparsity) for r in self.layers)
+
+    def _layers_to_monitor(self) -> List[int]:
+        """Top layer plus layer 1 when deeper (reference idbn.py:163-173)."""
+        layers = {len(self.layers)}
+        if len(self.layers) > 1:
+            layers.add(1)
+        return sorted(layers)
+
+    def _layer_tag(self, idx: int) -> str:
+        return f"layer{idx}"
+
+    # -- training --------------------------------------------------------------
+
+    def _schedule(self, epoch: int):
+        r0 = self.layers[0]
+        lr = r0.lr / (1 + 0.01 * epoch) if r0.dynamic_lr else r0.lr
+        mom = r0.momentum if epoch <= 5 else r0.final_momentum
+        return lr, mom
+
+    def _train_epoch_fused(self, epoch: int, epochs: int, data: jax.Array,
+                           key) -> float:
+        """One epoch as a single on-device scan (+ remainder batch)."""
+        lr, mom = self._schedule(epoch)
+        wd = self.layers[0].weight_decay
+        bs = getattr(self.dataloader, "batch_size", 128)
+        states, losses = dbn_train.idbn_epoch(
+            self._states(), key, data, lr, mom, wd, self.sparsity_factor,
+            cd=self.cd_k, sparsity_flags=self._sparsity_flags(),
+            batch_size=bs, shuffle=True)
+        loss_vals = [float(losses.mean())] if losses.size else []
+        n = data.shape[0]
+        rem = n - (n // bs) * bs
+        if rem:
+            states, rl = dbn_train.idbn_batch_step(
+                states, jax.random.fold_in(key, 987), data[n - rem:],
+                lr, mom, wd, self.sparsity_factor, cd=self.cd_k,
+                sparsity_flags=self._sparsity_flags())
+            loss_vals.append(float(rl.mean()))
+        self._set_states(states)
+        return float(np.mean(loss_vals)) if loss_vals else 0.0
+
+    def train(self, epochs: int, log_every_pca: int = 25,
+              log_every_probe: int = 10, fused: Optional[bool] = None):
+        """Train with iterative layer-wise updates (reference idbn.py:179-305).
+
+        ``fused=None`` auto-selects the on-device epoch path when the
+        dataloader can materialize its arrays; ``fused=False`` forces the
+        reference-style per-batch loop (useful for exotic loaders).
+        """
+        if fused is None:
+            fused = hasattr(self.dataloader, "materialize")
+        data = None
+        if fused:
+            imgs = self.dataloader.materialize()[0]
+            data = jnp.asarray(imgs.reshape(imgs.shape[0], -1), jnp.float32)
+
+        epoch_key = jax.random.key(self.params.get("SEED", 0))
+
+        for epoch in range(int(epochs)):
+            if fused:
+                mean_loss = self._train_epoch_fused(
+                    epoch, epochs, data, jax.random.fold_in(epoch_key, epoch))
+            else:
+                losses = []
+                for img, _ in self.dataloader:
+                    v = as_array(img)
+                    for rbm in self.layers:
+                        loss = rbm.train_epoch(v, epoch, epochs, CD=self.cd_k)
+                        v = rbm.forward(v)
+                        losses.append(float(loss))
+                mean_loss = float(np.mean(losses)) if losses else 0.0
+            self.loss_history.append(mean_loss)
+
+            self._log_epoch(epoch, mean_loss, log_every_pca, log_every_probe)
+
+    def _log_epoch(self, epoch: int, mean_loss: float, log_every_pca: int,
+                   log_every_probe: int) -> None:
+        """Reference logging cadences (idbn.py:207-305), W&B-optional."""
+        if self.wandb_run is None:
+            return
+        self.wandb_run.log({"idbn/loss": mean_loss, "epoch": epoch})
+
+        # Auto-reconstruction snapshot every 5 epochs (idbn.py:211-238).
+        if self.val_batch is not None and epoch % 5 == 0:
+            try:
+                from multimodal_idbn_tpu.utils.wandb_utils import (
+                    log_reconstruction_grid)
+                vb = as_array(self.val_batch)[:8]
+                rec = self.reconstruct(vb)
+                log_reconstruction_grid(self.wandb_run, vb, rec, epoch,
+                                        key="idbn/auto_recon_grid")
+                mse = float(jnp.mean((vb - jnp.clip(rec, 0, 1)) ** 2))
+                self.wandb_run.log({"idbn/auto_recon_mse": mse,
+                                    "epoch": epoch})
+            except Exception:
+                pass
+
+        if self.val_loader is None or self.features is None:
+            return
+
+        if epoch % log_every_pca == 0:
+            for layer_idx in self._layers_to_monitor():
+                tag = self._layer_tag(layer_idx)
+                try:
+                    from multimodal_idbn_tpu.utils.probe_utils import (
+                        compute_val_embeddings_and_features)
+                    from multimodal_idbn_tpu.utils.wandb_utils import (
+                        plot_2d_embedding_and_correlations,
+                        plot_3d_embedding_and_correlations)
+                    E, feats = compute_val_embeddings_and_features(
+                        self, upto_layer=layer_idx)
+                    if E.size == 0:
+                        continue
+                    feat_map = {
+                        "Cumulative Area": np.asarray(feats["cum_area"]),
+                        "Convex Hull": np.asarray(feats["convex_hull"]),
+                        "Labels": np.asarray(feats["labels"]),
+                    }
+                    if "density" in feats:
+                        feat_map["Density"] = np.asarray(feats["density"])
+                    emb = np.asarray(E)
+                    if emb.shape[0] > 2 and emb.shape[1] > 2:
+                        from multimodal_idbn_tpu.utils.pca import pca_fit_transform
+                        p2 = pca_fit_transform(emb, 2)
+                        plot_2d_embedding_and_correlations(
+                            emb_2d=p2, features=feat_map,
+                            arch_name=f"iDBN_{tag}", dist_name="val",
+                            method_name="pca", wandb_run=self.wandb_run)
+                        if emb.shape[1] >= 3:
+                            p3 = pca_fit_transform(emb, 3)
+                            plot_3d_embedding_and_correlations(
+                                emb_3d=p3, features=feat_map,
+                                arch_name=f"iDBN_{tag}", dist_name="val",
+                                method_name="pca", wandb_run=self.wandb_run)
+                except Exception as e:
+                    self.wandb_run.log({f"warn/idbn_pca_error_{tag}": str(e)})
+
+        if epoch % log_every_probe == 0:
+            for layer_idx in self._layers_to_monitor():
+                tag = self._layer_tag(layer_idx)
+                try:
+                    from multimodal_idbn_tpu.utils.probe_utils import (
+                        log_linear_probe)
+                    log_linear_probe(self, epoch=epoch, n_bins=5,
+                                     test_size=0.2, steps=1000, lr=1e-2,
+                                     patience=20, min_delta=0.0,
+                                     upto_layer=layer_idx, layer_tag=tag)
+                except Exception as e:
+                    self.wandb_run.log(
+                        {f"warn/idbn_probe_error_{tag}": str(e)})
+
+    # -- inference ---------------------------------------------------------------
+
+    def represent(self, x, upto_layer: Optional[int] = None) -> jax.Array:
+        """Mean-field encode to a given layer (reference idbn.py:308-323)."""
+        v = as_array(x)
+        L = (len(self.layers) if upto_layer is None
+             else max(0, min(len(self.layers), int(upto_layer))))
+        return dbn_train.dbn_represent(self._states(), v, upto=L)
+
+    def reconstruct(self, x) -> jax.Array:
+        """Encode all the way up then decode back (reference idbn.py:326-344)."""
+        return dbn_train.dbn_reconstruct(self._states(), as_array(x))
+
+    def decode(self, top) -> jax.Array:
+        """Decode top-layer activations to input space (idbn.py:346-359)."""
+        return dbn_train.dbn_decode(self._states(), as_array(top))
+
+    def save_model(self, path: str) -> None:
+        """Pickle ``{"layers", "params"}`` (reference idbn.py:361-373)."""
+        import pickle
+        with open(path, "wb") as f:
+            pickle.dump({"layers": self.layers, "params": self.params}, f)
+        print(f"[iDBN] Model saved to {path}")

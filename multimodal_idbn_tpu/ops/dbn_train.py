@@ -1,0 +1,129 @@
+"""Fused on-device DBN training: whole epochs as single XLA computations.
+
+The reference trains with a per-batch Python loop — every batch does a
+host→device copy and L sequential kernel launches (reference
+idbn.py:199-204). Here the dataset lives in HBM and an entire epoch runs
+as ONE jitted ``lax.scan`` over batches, with the per-batch all-layers
+"iterative" update (every layer updated on every batch, layer i+1 fed the
+post-update activations of layer i — the "i" in iDBN, SURVEY.md §2.1(8))
+unrolled inside the scan body. One dispatch per epoch instead of
+``batches × layers`` dispatches.
+
+Shuffling happens on-device too (``jax.random.permutation`` + gather), so
+the only host↔device traffic per epoch is the scalar schedule values and
+the returned losses.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_idbn_tpu.ops import rbm_ops
+
+Array = jax.Array
+States = Tuple[rbm_ops.RBMState, ...]
+
+
+@partial(jax.jit, static_argnames=("cd", "sparsity_flags", "batch_size",
+                                   "shuffle"))
+def idbn_epoch(states: States, key: Array, data: Array, lr, mom,
+               weight_decay, sparsity_factor, *, cd: int,
+               sparsity_flags: Tuple[bool, ...], batch_size: int,
+               shuffle: bool = True):
+    """One full iDBN epoch on-device.
+
+    Args:
+        states: per-layer RBMState tuple (widths differ per layer).
+        data: [N, V] training data resident in HBM.
+        lr, mom: traced scalars (epoch schedule computed host-side so one
+            compile serves all epochs, reference rbm.py:194-195).
+        cd / sparsity_flags / batch_size: static.
+
+    Returns (new_states, losses[nb, L]) with the same per-(batch, layer)
+    loss layout the reference averages for its ``idbn/loss`` metric
+    (idbn.py:204-208). Batches beyond ``nb*batch_size`` are left to the
+    caller (reference DataLoaders don't drop the remainder).
+    """
+    n = data.shape[0]
+    nb = n // batch_size
+    kperm, kscan = jax.random.split(key)
+    if shuffle:
+        order = jax.random.permutation(kperm, n)
+    else:
+        order = jnp.arange(n)
+    batches = data[order[:nb * batch_size]].reshape(nb, batch_size,
+                                                    data.shape[1])
+    step_keys = jax.random.split(kscan, nb)
+
+    def body(states, xs):
+        batch, bkey = xs
+        v = batch
+        new_states = []
+        losses = []
+        for i, st in enumerate(states):
+            st, loss = rbm_ops.cd_update(
+                st, jax.random.fold_in(bkey, i), v, lr=lr, mom=mom,
+                weight_decay=weight_decay, cd=cd,
+                sparsity=sparsity_flags[i],
+                sparsity_factor=sparsity_factor, groups=())
+            v = rbm_ops.hidden_probs(st, v)  # post-update activations
+            new_states.append(st)
+            losses.append(loss)
+        return tuple(new_states), jnp.stack(losses)
+
+    states, losses = jax.lax.scan(body, states, (batches, step_keys))
+    return states, losses
+
+
+@partial(jax.jit, static_argnames=("cd", "sparsity_flags"))
+def idbn_batch_step(states: States, key: Array, batch: Array, lr, mom,
+                    weight_decay, sparsity_factor, *, cd: int,
+                    sparsity_flags: Tuple[bool, ...]):
+    """Per-batch all-layers update (used for the epoch remainder and by
+    the reference-style per-batch path)."""
+    v = batch
+    new_states = []
+    losses = []
+    for i, st in enumerate(states):
+        st, loss = rbm_ops.cd_update(
+            st, jax.random.fold_in(key, i), v, lr=lr, mom=mom,
+            weight_decay=weight_decay, cd=cd, sparsity=sparsity_flags[i],
+            sparsity_factor=sparsity_factor, groups=())
+        v = rbm_ops.hidden_probs(st, v)
+        new_states.append(st)
+        losses.append(loss)
+    return tuple(new_states), jnp.stack(losses)
+
+
+@partial(jax.jit, static_argnames=("upto",))
+def dbn_represent(states: States, v: Array, upto: int) -> Array:
+    """Mean-field encode through the first ``upto`` layers
+    (reference idbn.py:308-323)."""
+    for i in range(upto):
+        v = rbm_ops.hidden_probs(states[i], v)
+    return v
+
+
+@jax.jit
+def dbn_decode(states: States, top: Array) -> Array:
+    """Decode from top activations back to input space
+    (reference idbn.py:346-359). Image DBNs have no softmax groups."""
+    cur = top
+    for st in reversed(states):
+        cur = rbm_ops.visible_probs(st, cur)
+    return cur
+
+
+@jax.jit
+def dbn_reconstruct(states: States, v: Array) -> Array:
+    """Encode through all layers then decode back (idbn.py:326-344)."""
+    cur = v
+    for st in states:
+        cur = rbm_ops.hidden_probs(st, cur)
+    for st in reversed(states):
+        cur = rbm_ops.visible_probs(st, cur)
+    return cur

@@ -1,0 +1,128 @@
+"""Dataset layer tests: loader contract of SURVEY.md §2.3."""
+
+import numpy as np
+
+from multimodal_idbn_tpu.data import (
+    DataLoader,
+    NumerosityDataset,
+    Subset,
+    create_dataloaders_uniform,
+    create_dataloaders_zipfian,
+    generate_mnist100_images,
+    generate_numerosity_dataset,
+    zipf_probs,
+)
+
+
+def test_generate_numerosity_dataset():
+    d = generate_numerosity_dataset(n_samples=24, num_classes=8, side=40,
+                                    seed=0)
+    assert d["images"].shape == (24, 40, 40)
+    assert set(np.unique(d["images"])) <= {0.0, 1.0}
+    assert d["onehot"].shape == (24, 8)
+    np.testing.assert_allclose(d["onehot"].sum(1), 1.0)
+    # numeric labels are the numerosity values of the sampled classes
+    assert d["labels"].min() >= 1
+    # geometry features positive
+    assert (d["cumArea"] > 0).all()
+    assert (d["CH"] > 0).all()
+    # deterministic
+    d2 = generate_numerosity_dataset(n_samples=24, num_classes=8, side=40,
+                                     seed=0)
+    np.testing.assert_array_equal(d["images"], d2["images"])
+
+
+def test_dot_count_matches_label():
+    d = generate_numerosity_dataset(n_samples=16, num_classes=6, side=60,
+                                    seed=1)
+    # N_dots should equal the numerosity label (placement rarely fails at
+    # these densities)
+    assert (d["N_dots"] == d["labels"].astype(int)).mean() > 0.9
+
+
+def test_loader_contract_uniform():
+    train, val, test = create_dataloaders_uniform(
+        batch_size=16, n_samples=80, num_classes=5, side=30, seed=0)
+    # batch contract: (images, onehot)
+    img, y = next(iter(train))
+    assert img.shape == (16, 30, 30)
+    assert y.shape == (16, 5)
+    # Subset metadata protocol (reference idbn.py:131-146)
+    assert hasattr(val.dataset, "indices")
+    base = val.dataset.dataset
+    assert len(base.labels) == 80
+    assert len(base.cumArea_list) == 80
+    assert len(base.CH_list) == 80
+    assert base.density_list is not None
+    # val loader is not shuffled: two passes identical
+    a = np.concatenate([b[0].reshape(len(b[0]), -1) for b in val])
+    b = np.concatenate([b[0].reshape(len(b[0]), -1) for b in val])
+    np.testing.assert_array_equal(a, b)
+    # no index overlap between splits
+    tr = set(train.dataset.indices)
+    va = set(val.dataset.indices)
+    te = set(test.dataset.indices)
+    assert not (tr & va) and not (tr & te) and not (va & te)
+    assert len(tr | va | te) == 80
+
+
+def test_train_loader_shuffles_per_epoch():
+    train, _, _ = create_dataloaders_uniform(batch_size=16, n_samples=64,
+                                             num_classes=4, side=20, seed=0)
+    e1 = np.concatenate([b[0].reshape(len(b[0]), -1) for b in train])
+    e2 = np.concatenate([b[0].reshape(len(b[0]), -1) for b in train])
+    assert not np.array_equal(e1, e2)
+    # same content though
+    np.testing.assert_allclose(np.sort(e1.sum(1)), np.sort(e2.sum(1)))
+
+
+def test_zipfian_skews_classes():
+    p = zipf_probs(8)
+    assert p[0] > p[-1] * 4
+    train, _, _ = create_dataloaders_zipfian(batch_size=16, n_samples=400,
+                                             num_classes=8, side=20, seed=0)
+    base = train.dataset.dataset
+    counts = np.bincount(np.argmax(base.onehot, 1), minlength=8)
+    assert counts[0] > counts[-1]
+
+
+def test_bimodal_batches():
+    train, val, _ = create_dataloaders_uniform(
+        batch_size=8, n_samples=40, num_classes=4, side=20, seed=0,
+        second_modality="mnist100")
+    m1, m2 = next(iter(train))
+    assert m1.shape == (8, 20, 20)
+    assert m2.shape == (8, 28, 56)
+    assert set(np.unique(m2)) <= {0.0, 1.0}
+
+
+def test_mnist100_renders_values():
+    imgs = generate_mnist100_images(np.array([7, 23, 99]), seed=0)
+    assert imgs.shape == (3, 28, 56)
+    assert imgs.sum() > 0
+    # different values give different images
+    assert not np.array_equal(imgs[0], imgs[1])
+
+
+def test_materialize_matches_iteration_order():
+    _, val, _ = create_dataloaders_uniform(batch_size=8, n_samples=40,
+                                           num_classes=4, side=20, seed=0)
+    X, Y = val.materialize()
+    Xi = np.concatenate([b[0] for b in val])
+    np.testing.assert_array_equal(X, Xi)
+
+
+def test_dataloader_remainder_and_drop_last():
+    d = generate_numerosity_dataset(n_samples=21, num_classes=3, side=16,
+                                    seed=0)
+    ds = NumerosityDataset(d["images"], d["labels"], d["onehot"],
+                           d["cumArea"], d["CH"])
+    dl = DataLoader(ds, batch_size=8)
+    sizes = [len(b[0]) for b in dl]
+    assert sizes == [8, 8, 5]
+    assert len(dl) == 3
+    dl2 = DataLoader(ds, batch_size=8, drop_last=True)
+    assert [len(b[0]) for b in dl2] == [8, 8]
+    sub = Subset(ds, [1, 3, 5])
+    assert len(sub) == 3
+    np.testing.assert_array_equal(sub[0][0], ds[1][0])

@@ -1,0 +1,104 @@
+"""iDBN model tests: API shapes, fused-vs-reference-path learning, save."""
+
+import numpy as np
+import pytest
+
+from multimodal_idbn_tpu.data import create_dataloaders_uniform
+from multimodal_idbn_tpu.models import iDBN
+
+PARAMS = {
+    "LEARNING_RATE": 0.1,
+    "WEIGHT_PENALTY": 1e-4,
+    "INIT_MOMENTUM": 0.5,
+    "FINAL_MOMENTUM": 0.9,
+    "LEARNING_RATE_DYNAMIC": True,
+    "CD": 1,
+    "SPARSITY": True,
+    "SPARSITY_FACTOR": 0.1,
+}
+
+
+@pytest.fixture(scope="module")
+def loaders():
+    return create_dataloaders_uniform(batch_size=16, n_samples=96,
+                                      num_classes=4, side=16, seed=0)
+
+
+@pytest.fixture(scope="module")
+def model(loaders):
+    train, val, _ = loaders
+    return iDBN([256, 64, 32], PARAMS, train, val, device=None, seed=0)
+
+
+def test_construction(model):
+    assert len(model.layers) == 2
+    assert model.layers[0].num_visible == 256
+    assert model.layers[0].num_hidden == 64
+    assert model.layers[1].num_hidden == 32
+    # sparsity only on top layer (reference idbn.py:158)
+    assert not model.layers[0].sparsity
+    assert model.layers[1].sparsity
+    assert model.arch_str == "256-64-32"
+    # features extracted via the Subset protocol
+    assert model.features is not None
+    assert "Cumulative Area" in model.features
+    assert "Labels" in model.features
+
+
+def test_layers_to_monitor(model):
+    assert model._layers_to_monitor() == [1, 2]
+
+
+def test_represent_shapes(model, loaders):
+    _, val, _ = loaders
+    img, _ = next(iter(val))
+    z = np.asarray(model.represent(img))
+    assert z.shape == (len(img), 32)
+    z1 = np.asarray(model.represent(img, upto_layer=1))
+    assert z1.shape == (len(img), 64)
+    z0 = np.asarray(model.represent(img, upto_layer=0))
+    np.testing.assert_allclose(z0, img.reshape(len(img), -1), atol=1e-6)
+    assert (z >= 0).all() and (z <= 1).all()
+
+
+def test_reconstruct_decode_shapes(model, loaders):
+    _, val, _ = loaders
+    img, _ = next(iter(val))
+    rec = np.asarray(model.reconstruct(img))
+    assert rec.shape == (len(img), 256)
+    dec = np.asarray(model.decode(np.asarray(model.represent(img))))
+    np.testing.assert_allclose(dec, rec, atol=1e-5)
+
+
+def test_fused_training_learns(loaders):
+    train, val, _ = loaders
+    m = iDBN([256, 64, 32], PARAMS, train, val, seed=0)
+    base = float(np.mean(
+        (np.asarray(m.reconstruct(m.val_batch))
+         - m.val_batch.reshape(len(m.val_batch), -1)) ** 2))
+    m.train(epochs=12)
+    assert len(m.loss_history) == 12
+    after = float(np.mean(
+        (np.asarray(m.reconstruct(m.val_batch))
+         - m.val_batch.reshape(len(m.val_batch), -1)) ** 2))
+    assert m.loss_history[-1] < m.loss_history[0]
+    assert after < base
+
+
+def test_per_batch_path_learns(loaders):
+    train, val, _ = loaders
+    m = iDBN([256, 32], PARAMS, train, val, seed=0)
+    m.train(epochs=3, fused=False)
+    assert m.loss_history[-1] < m.loss_history[0]
+
+
+def test_save_model(tmp_path, model):
+    import pickle
+    p = tmp_path / "idbn.pkl"
+    model.save_model(str(p))
+    with open(p, "rb") as f:
+        payload = pickle.load(f)
+    assert set(payload.keys()) == {"layers", "params"}
+    assert len(payload["layers"]) == 2
+    w0 = np.asarray(payload["layers"][0].W)
+    np.testing.assert_allclose(w0, np.asarray(model.layers[0].W))
