@@ -53,6 +53,9 @@ def generate_dot_image(rng: np.random.RandomState, n_dots: int,
     img = np.zeros((side, side), np.float32)
     centers, radii = [], []
     yy, xx = np.mgrid[0:side, 0:side]
+    # keep radii placeable on small canvases (need r < side - r)
+    r_max = max(1, min(r_max, side // 2 - 2))
+    r_min = max(1, min(r_min, r_max))
     for _ in range(n_dots):
         for _try in range(max_tries):
             r = rng.randint(r_min, r_max + 1)

@@ -304,3 +304,12 @@ class iDBN:
         with open(path, "wb") as f:
             pickle.dump({"layers": self.layers, "params": self.params}, f)
         print(f"[iDBN] Model saved to {path}")
+
+    # Loaders and W&B runs are runtime attachments, not model state; drop
+    # them when an iDBN object is embedded in a pickle payload.
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d["wandb_run"] = None
+        d["dataloader"] = None
+        d["val_loader"] = None
+        return d

@@ -1,0 +1,281 @@
+"""Diagnostics subsystem tests: probes, energy, convergence tracing,
+trajectory/neighbor logging — exercised end-to-end on a tiny iMDBN with a
+fake W&B run recording the logged keys (metric-name parity with the
+reference, SURVEY.md §5.5)."""
+
+import numpy as np
+import pytest
+
+from multimodal_idbn_tpu.data import create_dataloaders_uniform
+from multimodal_idbn_tpu.models import iMDBN
+from multimodal_idbn_tpu.utils import (
+    compute_joint_embeddings_and_features,
+    compute_val_embeddings_and_features,
+    log_joint_linear_probe,
+    log_linear_probe,
+    make_bin_labels,
+    pca_fit_transform,
+    stratified_split,
+    train_linear_classifier,
+)
+from multimodal_idbn_tpu.utils import conditional_steps, energy_utils
+from multimodal_idbn_tpu.utils import imdbn_logging
+
+
+class FakeWandbRun:
+    def __init__(self):
+        self.logged = []
+
+    def log(self, d):
+        self.logged.append(d)
+
+    def keys(self):
+        out = set()
+        for d in self.logged:
+            out.update(d.keys())
+        return out
+
+
+PARAMS = {
+    "LEARNING_RATE": 0.1,
+    "WEIGHT_PENALTY": 1e-4,
+    "INIT_MOMENTUM": 0.5,
+    "FINAL_MOMENTUM": 0.9,
+    "LEARNING_RATE_DYNAMIC": True,
+    "CD": 1,
+    "JOINT_CD": 1,
+    "JOINT_LEARNING_RATE": 0.04,
+    "CROSS_GIBBS_STEPS": 4,
+    "JOINT_AUX_COND_STEPS": 3,
+}
+K, SIDE = 4, 12
+
+
+@pytest.fixture(scope="module")
+def model():
+    train, val, _ = create_dataloaders_uniform(
+        batch_size=16, n_samples=80, num_classes=K, side=SIDE, seed=0)
+    m = iMDBN([SIDE * SIDE, 32, 16], 12, params=PARAMS, dataloader=train,
+              val_loader=val, num_labels=K, seed=0)
+    m.wandb_run = FakeWandbRun()
+    m.image_idbn.train(epochs=2)
+    m.init_joint_bias_from_data(n_batches=2)
+    return m
+
+
+# ------------------------- probe_utils -------------------------
+
+def test_embeddings_and_features(model):
+    E, feats = compute_val_embeddings_and_features(model.image_idbn)
+    n_val = len(model.val_loader.dataset)
+    assert E.shape == (n_val, 16)
+    for key in ("cum_area", "convex_hull", "labels"):
+        assert feats[key].shape == (n_val,)
+    Ej, featsj = compute_joint_embeddings_and_features(model)
+    assert Ej.shape == (n_val, 12)
+
+
+def test_make_bin_labels_quantile():
+    vals = np.arange(100, dtype=np.float32)
+    y, edges = make_bin_labels(vals, n_bins=5)
+    assert y.min() == 0 and y.max() == 4
+    counts = np.bincount(y)
+    assert (counts >= 19).all()  # balanced quantile bins
+    assert len(edges) == 6
+    # tied edges get jitter
+    y2, e2 = make_bin_labels(np.ones(20, np.float32), n_bins=3)
+    assert (np.diff(e2) > 0).all()
+
+
+def test_stratified_split_keeps_train_sample_per_class():
+    labels = np.array([0] * 10 + [1] * 2 + [2])
+    tr, te = stratified_split(labels, test_size=0.2, rng_seed=42)
+    assert set(tr) | set(te) == set(range(13))
+    assert not set(tr) & set(te)
+    # class 1 has 2 samples -> 1 train, 1 test; class 2 singleton -> test
+    assert sum(labels[i] == 1 for i in tr) == 1
+    assert all(labels[i] != 2 for i in tr)
+
+
+def test_train_linear_classifier_learns():
+    rng = np.random.RandomState(0)
+    X = rng.randn(200, 8).astype(np.float32)
+    w = rng.randn(8, 3).astype(np.float32)
+    y = (X @ w).argmax(1)
+    acc, y_true, y_pred = train_linear_classifier(
+        X[:160], y[:160], X[160:], y[160:], n_classes=3, max_steps=300,
+        lr=5e-2, patience=50)
+    assert acc > 0.8
+    assert len(y_true) == len(y_pred) == 40
+
+
+def test_log_linear_probe_keys(model, tmp_path):
+    model.image_idbn.arch_dir = str(tmp_path)
+    model.image_idbn.wandb_run = model.wandb_run
+    res = log_linear_probe(model.image_idbn, epoch=0, n_bins=3, steps=50,
+                           layer_tag="layer2", upto_layer=2)
+    assert "layer2/labels" in res
+    keys = model.wandb_run.keys()
+    assert "probe/layer2/labels/acc" in keys
+    assert "probe/layer2/cum_area/acc" in keys
+    # CSV side effect (reference probe_utils.py:284-291)
+    import glob
+    assert glob.glob(str(tmp_path / "probe_*confusion_epoch0.csv"))
+
+
+def test_log_joint_linear_probe(model):
+    res = log_joint_linear_probe(model, epoch=0, n_bins=3, steps=50)
+    assert "joint/labels" in res
+    assert "probe/joint/labels/acc" in model.wandb_run.keys()
+
+
+def test_pca_shapes():
+    X = np.random.RandomState(0).randn(50, 10)
+    p2 = pca_fit_transform(X, 2)
+    assert p2.shape == (50, 2)
+    # components are orthogonal-ish projections: variance ordering
+    assert p2[:, 0].var() >= p2[:, 1].var()
+
+
+# ------------------------- energy_utils -------------------------
+
+def test_free_energy_matches_definition(model):
+    rbm = model.joint_rbm
+    v = np.random.RandomState(0).rand(6, rbm.num_visible).astype(np.float32)
+    F = np.asarray(energy_utils.rbm_free_energy(rbm, v))
+    W = np.asarray(rbm.W)
+    want = -(v @ np.asarray(rbm.vis_bias)) - np.logaddexp(
+        0, np.asarray(rbm.hid_bias) + v @ W).sum(1)
+    np.testing.assert_allclose(F, want, rtol=1e-4, atol=1e-4)
+
+
+def test_class_free_energies_match_explicit(model):
+    rbm = model.joint_rbm
+    Dz = model.Dz_img
+    z = np.random.RandomState(1).rand(5, Dz).astype(np.float32)
+    Fk = np.asarray(energy_utils.class_free_energies(rbm, z, K, Dz))
+    assert Fk.shape == (5, K)
+    # explicit check against full free energy with one-hot appended
+    for k in range(K):
+        v = np.concatenate(
+            [z, np.tile(np.eye(K, dtype=np.float32)[k], (5, 1))], axis=1)
+        want = np.asarray(energy_utils.rbm_free_energy(rbm, v))
+        np.testing.assert_allclose(Fk[:, k], want, rtol=1e-3, atol=1e-3)
+
+
+def test_trace_single_img2txt(model):
+    img, lbl = energy_utils.pick_fixed_val_case(model)
+    case = energy_utils.trace_single_img2txt(model, img, lbl, steps=8)
+    assert 1 <= case["steps_to_converge"] <= 9
+    assert 0 <= case["kstar"] < K
+    assert len(case["p_top1"]) <= 8
+    assert case["margin_energy"] >= 0
+    # cached case is stable
+    img2, lbl2 = energy_utils.pick_fixed_val_case(model)
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(img2))
+
+
+def test_run_and_log_fixed_case(model):
+    case = energy_utils.run_and_log_fixed_case(model, epoch=0, steps=6)
+    assert "case/fixed/summary" in model.wandb_run.keys()
+    assert case["steps_to_converge"] >= 1
+
+
+# ------------------------- conditional_steps -------------------------
+
+def test_trace_img2txt_cross(model):
+    img, lbl = conditional_steps.pick_fixed_val_case(model)
+    out = conditional_steps.trace_img2txt_cross(model, img, lbl, max_steps=6)
+    assert out["dir"] == "img2txt"
+    assert len(out["p_top1"]) <= 6
+    assert len(out["l1"]) == len(out["p_top1"])
+    assert out["gt_idx"] is not None
+
+
+def test_trace_txt2img_cross(model):
+    img, lbl = conditional_steps.pick_fixed_val_case(model)
+    out = conditional_steps.trace_txt2img_cross(model, img, lbl, max_steps=6)
+    assert out["dir"] == "txt2img"
+    assert len(out["image_mse"]) <= 6
+    assert np.isfinite(out["best_mse"])
+
+
+def test_cross_panel(model):
+    res = conditional_steps.run_and_log_cross_panel(
+        model, epoch=0, per_class=1, max_steps=5)
+    stats = res["img2txt"]["stats"]
+    assert stats["n_total"] >= K - 1  # at least one sample per found class
+    assert 0.0 <= stats["frac_converged"] <= 1.0
+    assert f"conv/panel/panel/summary" in model.wandb_run.keys()
+
+
+def test_z_mismatch_check(model):
+    cos = conditional_steps.run_and_log_z_mismatch_check(model, epoch=0,
+                                                         max_steps=4)
+    assert -1.0 <= cos <= 1.0
+    assert "zcheck/z_check/cosine_mean" in model.wandb_run.keys()
+
+
+def test_cross_fixed_case_logging(model):
+    o1, o2 = conditional_steps.run_and_log_cross_fixed_case(
+        model, epoch=0, max_steps=5)
+    keys = model.wandb_run.keys()
+    assert "cross/fixed_cross/summary" in keys
+    assert o1["dir"] == "img2txt" and o2["dir"] == "txt2img"
+
+
+# ------------------------- imdbn_logging -------------------------
+
+def test_val_bank_and_topk(model):
+    imdbn_logging.ensure_val_bank(model)
+    n_val = len(model.val_loader.dataset)
+    assert model._Z_bank.shape == (n_val, 16)
+    assert model._H_bank.shape == (n_val, 2)
+    zq = model._Z_bank[:2]
+    idx, sc = imdbn_logging.topk_similar_in_latent(model, zq, k=3)
+    assert idx.shape == (2, 3)
+    # self is the nearest under cosine
+    assert idx[0, 0] == 0 and idx[1, 0] == 1
+    # l2 metric too
+    idx2, _ = imdbn_logging.topk_similar_in_latent(model, zq, k=3,
+                                                   metric="l2")
+    assert idx2[0, 0] == 0
+
+
+def test_find_first_val_index_with_label(model):
+    base = model.val_loader.dataset.dataset
+    indices = model.val_loader.dataset.indices
+    y = base.onehot[indices].argmax(1)
+    for k in np.unique(y)[:2]:
+        i = imdbn_logging.find_first_val_index_with_label(model, int(k))
+        assert y[i] == k
+    assert imdbn_logging.find_first_val_index_with_label(model, 999) == -1
+
+
+def test_vecdb_neighbors_logging(model):
+    imdbn_logging.log_vecdb_neighbors_for_traj(model, sample_idx=0, steps=3,
+                                               k=3)
+    keys = model.wandb_run.keys()
+    assert "vecdb/knn_zT" in keys
+    assert "vecdb/knn_true_with_gt" in keys
+    assert "vecdb/knn_zT_gt_vs_decode" in keys
+
+
+def test_trajectory_panels(model):
+    imdbn_logging.log_latent_trajectory_with_recon_panel(model, sample_idx=0,
+                                                         steps=5)
+    imdbn_logging.log_pca3_trajectory(model, sample_idx=0, steps=3)
+    imdbn_logging.log_pca3_trajectory_with_recon_panel(model, sample_idx=0,
+                                                       steps=3)
+    keys = model.wandb_run.keys()
+    assert "pca_traj_with_recon/plot" in keys
+    assert "pca3_traj/pca3" in keys
+    assert "pca3_traj_with_recon/plot" in keys
+
+
+def test_joint_auto_recon(model):
+    res = imdbn_logging.log_joint_auto_recon(model, epoch=0, num=4)
+    keys = model.wandb_run.keys()
+    assert "auto_recon/text_top1" in keys
+    assert "auto_recon/image_mse" in keys
+    assert 0.0 <= res["top1"] <= 1.0
