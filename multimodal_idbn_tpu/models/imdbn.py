@@ -48,6 +48,7 @@ class iMDBN:
                  val_loader=None, device=None, text_posenc_dim: int = 0,
                  num_labels: int = 32, embedding_dim: int = 64,
                  wandb_run=None, logging_config_path: Optional[str] = None,
+                 logging_cfg: Optional[dict] = None,
                  seed: Optional[int] = None):
         # Constructor signature disambiguation (imdbn.py:105-112).
         if isinstance(layer_sizes_txt_or_joint, (list, tuple)):
@@ -68,19 +69,23 @@ class iMDBN:
         self.wandb_run = wandb_run
         self._seed = seed
 
-        self.logging_cfg = {}
-        try:
-            import yaml
-            from pathlib import Path
-            cfg_path = (Path(logging_config_path) if logging_config_path
-                        else Path("configs/logging_config.yaml"))
-            if cfg_path.exists():
-                with cfg_path.open("r") as f:
-                    cfg = yaml.safe_load(f)
-                if isinstance(cfg, dict):
-                    self.logging_cfg = cfg
-        except Exception:
-            pass
+        # The CLI passes the yaml `logging:` tree as a dict (the reference
+        # monolith accepts it at gdbn_model_complete.py:619-620); the
+        # path-based fallback mirrors the extracted file (imdbn.py:121-132).
+        self.logging_cfg = dict(logging_cfg) if logging_cfg else {}
+        if not self.logging_cfg:
+            try:
+                import yaml
+                from pathlib import Path
+                cfg_path = (Path(logging_config_path) if logging_config_path
+                            else Path("configs/logging_config.yaml"))
+                if cfg_path.exists():
+                    with cfg_path.open("r") as f:
+                        cfg = yaml.safe_load(f)
+                    if isinstance(cfg, dict):
+                        self.logging_cfg = cfg
+            except Exception:
+                pass
 
         self.num_labels = int(num_labels)
 
@@ -503,8 +508,97 @@ class iMDBN:
                 except Exception as e:
                     self.wandb_run.log({"warn/joint_probe_error": str(e)})
 
+        self._log_config_gated(epoch)
+
         if epoch % max(1, int(log_every)) == 0:
             self._log_snapshots(epoch)
+
+    def _get_log_cfg(self, section: str) -> dict:
+        """Section of the yaml `logging:` tree (reference monolith
+        gdbn_model_complete.py:691)."""
+        cfg = self.logging_cfg or {}
+        if "logging" in cfg and isinstance(cfg["logging"], dict):
+            cfg = cfg["logging"]
+        sec = cfg.get(section, {})
+        return sec if isinstance(sec, dict) else {}
+
+    def _log_cadence(self, name: str, default: int) -> int:
+        cfg = self.logging_cfg or {}
+        if "logging" in cfg and isinstance(cfg["logging"], dict):
+            cfg = cfg["logging"]
+        return max(1, int(cfg.get(name, default)))
+
+    def _log_config_gated(self, epoch: int) -> None:
+        """Config-gated extras the reference monolith runs in train_joint
+        (gdbn_model_complete.py:1091-1147, SURVEY.md §5.5): energy traces,
+        cross-modal convergence panels, vec-DB neighbors, trajectories,
+        joint auto-recon. Each gate defaults off like the shipped yaml."""
+        if self.wandb_run is None:
+            return
+        energy_cfg = self._get_log_cfg("energy")
+        if (energy_cfg.get("enable", False)
+                and epoch % self._log_cadence("log_every_energy", 50) == 0):
+            try:
+                from multimodal_idbn_tpu.utils.energy_utils import (
+                    run_and_log_fixed_case)
+                run_and_log_fixed_case(self, epoch=epoch)
+            except Exception as e:
+                self.wandb_run.log({"warn/energy_error": str(e)})
+
+        conv_cfg = self._get_log_cfg("convergence")
+        if (conv_cfg.get("enable", False)
+                and epoch % self._log_cadence("log_every_convergence",
+                                              25) == 0):
+            try:
+                from multimodal_idbn_tpu.utils.conditional_steps import (
+                    run_and_log_cross_panel,
+                    run_and_log_z_mismatch_check,
+                )
+                if conv_cfg.get("panel_analysis", True):
+                    run_and_log_cross_panel(
+                        self, epoch=epoch,
+                        max_steps=int(conv_cfg.get("num_steps", 50)))
+                if conv_cfg.get("z_mismatch_check", True):
+                    run_and_log_z_mismatch_check(self, epoch=epoch)
+            except Exception as e:
+                self.wandb_run.log({"warn/convergence_error": str(e)})
+
+        nb_cfg = self._get_log_cfg("neighbors")
+        if (nb_cfg.get("enable", False)
+                and epoch % self._log_cadence("log_every_neighbors",
+                                              50) == 0):
+            try:
+                from multimodal_idbn_tpu.utils.imdbn_logging import (
+                    log_vecdb_neighbors_for_traj)
+                log_vecdb_neighbors_for_traj(
+                    self, k=int(nb_cfg.get("k", 5)),
+                    metric=nb_cfg.get("similarity_metric", "cosine"),
+                    dedup=("image" if nb_cfg.get("deduplicate", True)
+                           else "index"))
+            except Exception as e:
+                self.wandb_run.log({"warn/neighbors_error": str(e)})
+
+        traj_cfg = self._get_log_cfg("trajectory")
+        if (traj_cfg.get("enable", False)
+                and epoch % self._log_cadence("log_every_trajectory",
+                                              50) == 0):
+            try:
+                from multimodal_idbn_tpu.utils.imdbn_logging import (
+                    log_joint_auto_recon,
+                    log_latent_trajectory_with_recon_panel,
+                    log_pca3_trajectory_with_recon_panel,
+                )
+                for s_idx in range(int(traj_cfg.get("num_samples", 4))):
+                    if traj_cfg.get("plot_2d", True):
+                        log_latent_trajectory_with_recon_panel(
+                            self, sample_idx=s_idx, steps=self.cross_steps,
+                            tag=f"pca_traj_with_recon/sample{s_idx}")
+                if traj_cfg.get("plot_3d", True):
+                    log_pca3_trajectory_with_recon_panel(
+                        self, sample_idx=0, steps=self.cross_steps)
+                log_joint_auto_recon(self, epoch=epoch)
+            except Exception as e:
+                self.wandb_run.log({"warn/trajectory_error": str(e)})
 
     def _log_snapshots(self, epoch: int, num: int = 8) -> None:
         """Reconstruction grids / confusion / top-k tables

@@ -1,0 +1,205 @@
+"""Functional bimodal joint-DBN training (iMDBN_BiModal core).
+
+Reference semantics (imdbn/models/imdbn_bimodal.py:543-850, SURVEY.md
+§2.1(12)): the joint is a *stack* of RBMs with no softmax groups; warmup
+epochs alternate mod1/mod2 clamped CD (CD=3, stochastic h, 2× each) on
+layer 0; main epochs run per-layer free CD down the joint stack plus two
+aux clamps on layer 0; cross-modal reconstruction uses plain
+``conditional_gibbs`` with ``sample_h=True`` in both directions through
+layer 0 only.
+
+As with the unimodal joint (imdbn_ops), an entire epoch over precomputed
+modality latents runs as one jitted ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_idbn_tpu.ops import dbn_train, rbm_ops
+
+Array = jax.Array
+States = Tuple[rbm_ops.RBMState, ...]
+
+
+class BimodalMetrics(NamedTuple):
+    n: Array
+    mse_mod1: Array  # summed
+    mse_mod2: Array
+
+
+def zeros_metrics() -> BimodalMetrics:
+    z = jnp.zeros((), jnp.float32)
+    return BimodalMetrics(z, z, z)
+
+
+def bimodal_cross_reconstruct(joint0: rbm_ops.RBMState, mod1_states,
+                              mod2_states, key: Array, z1: Array, z2: Array,
+                              *, steps: int, Dz1: int):
+    """MOD1→MOD2 and MOD2→MOD1 through joint layer 0
+    (reference imdbn_bimodal.py:648-693): conditional Gibbs with
+    stochastic h, mean-field v, then decode through each modality DBN.
+    Returns (mod1_from_mod2, mod2_from_mod1)."""
+    B = z1.shape[0]
+    Dz2 = z2.shape[1]
+    k1, k2 = jax.random.split(key)
+
+    v_known = jnp.concatenate([z1, jnp.zeros((B, Dz2), z1.dtype)], axis=1)
+    km = jnp.concatenate([jnp.ones((B, Dz1), z1.dtype),
+                          jnp.zeros((B, Dz2), z1.dtype)], axis=1)
+    v_1to2 = rbm_ops.conditional_gibbs(joint0, k1, v_known, km,
+                                       n_steps=steps, sample_h=True,
+                                       sample_v=False, groups=())
+    z2_from_1 = v_1to2[:, Dz1:]
+
+    v_known2 = jnp.concatenate([jnp.zeros((B, Dz1), z1.dtype), z2], axis=1)
+    v_2to1 = rbm_ops.conditional_gibbs(joint0, k2, v_known2, 1.0 - km,
+                                       n_steps=steps, sample_h=True,
+                                       sample_v=False, groups=())
+    z1_from_2 = v_2to1[:, :Dz1]
+
+    mod1_from_mod2 = dbn_train.dbn_decode(mod1_states, z1_from_2)
+    mod2_from_mod1 = dbn_train.dbn_decode(mod2_states, z2_from_1)
+    return mod1_from_mod2, mod2_from_mod1
+
+
+def _bimodal_train_batch(joint: States, mod1_states, mod2_states, key, z1,
+                         z2, v1, v2, lr, mom, weight_decay, *, warmup: bool,
+                         joint_cd: int, aux_cond_steps: int, Dz1: int,
+                         steps: int, compute_metrics: bool):
+    """One bimodal joint batch (reference imdbn_bimodal.py:743-831)."""
+    B = z1.shape[0]
+    Dz2 = z2.shape[1]
+    v_plus = jnp.concatenate([z1, z2], axis=1)
+    km1 = jnp.concatenate([jnp.ones((B, Dz1), z1.dtype),
+                           jnp.zeros((B, Dz2), z1.dtype)], axis=1)
+    vk1 = jnp.concatenate([z1, jnp.zeros((B, Dz2), z1.dtype)], axis=1)
+    vk2 = jnp.concatenate([jnp.zeros((B, Dz1), z1.dtype), z2], axis=1)
+    keys = jax.random.split(key, 8)
+    layers = list(joint)
+
+    cd_loss = jnp.zeros((), jnp.float32)
+    if warmup:
+        # Alternating modality clamps, 2× each, CD=3, stochastic h
+        # (imdbn_bimodal.py:753-780). First layer only.
+        for i in range(2):
+            layers[0], _ = rbm_ops.clamped_cd_update(
+                layers[0], keys[2 * i], vk1, km1, lr=lr, mom=mom,
+                weight_decay=weight_decay, cd=3,
+                cond_init_steps=aux_cond_steps, sample_h=True,
+                sample_v=False, reclamp_negative=True, aux_lr_mult=0.3,
+                use_noisy_init=True, groups=())
+            layers[0], _ = rbm_ops.clamped_cd_update(
+                layers[0], keys[2 * i + 1], vk2, 1.0 - km1, lr=lr, mom=mom,
+                weight_decay=weight_decay, cd=3,
+                cond_init_steps=aux_cond_steps, sample_h=True,
+                sample_v=False, reclamp_negative=True, aux_lr_mult=0.3,
+                use_noisy_init=True, groups=())
+    else:
+        # Per-layer free CD down the joint stack (:783-792).
+        current = v_plus
+        for li in range(len(layers)):
+            layers[li], loss = rbm_ops.cd_update(
+                layers[li], jax.random.fold_in(keys[4], li), current,
+                lr=lr, mom=mom, weight_decay=weight_decay, cd=joint_cd,
+                groups=())
+            if li == 0:
+                cd_loss = loss
+            current = rbm_ops.hidden_probs(layers[li], current)
+
+        # Two aux clamps on layer 0, no negative re-clamp (:794-820).
+        layers[0], _ = rbm_ops.clamped_cd_update(
+            layers[0], keys[5], vk1, km1, lr=lr, mom=mom,
+            weight_decay=weight_decay, cd=3, cond_init_steps=aux_cond_steps,
+            sample_h=True, sample_v=False, reclamp_negative=False,
+            aux_lr_mult=0.3, use_noisy_init=True, groups=())
+        layers[0], _ = rbm_ops.clamped_cd_update(
+            layers[0], keys[6], vk2, 1.0 - km1, lr=lr, mom=mom,
+            weight_decay=weight_decay, cd=3, cond_init_steps=aux_cond_steps,
+            sample_h=True, sample_v=False, reclamp_negative=False,
+            aux_lr_mult=0.3, use_noisy_init=True, groups=())
+
+    if compute_metrics:
+        rec1, rec2 = bimodal_cross_reconstruct(
+            layers[0], mod1_states, mod2_states, keys[7], z1, z2,
+            steps=steps, Dz1=Dz1)
+        m = BimodalMetrics(
+            jnp.asarray(B, jnp.float32),
+            ((rec1 - v1) ** 2).sum(),
+            ((rec2 - v2) ** 2).sum())
+    else:
+        m = zeros_metrics()
+    return tuple(layers), cd_loss, m
+
+
+@partial(jax.jit,
+         static_argnames=("warmup", "joint_cd", "aux_cond_steps", "Dz1",
+                          "steps", "batch_size", "metrics_every", "shuffle"))
+def bimodal_joint_epoch(joint: States, mod1_states, mod2_states, key,
+                        Z1: Array, Z2: Array, V1: Array, V2: Array, lr, mom,
+                        weight_decay, *, warmup: bool, joint_cd: int,
+                        aux_cond_steps: int, Dz1: int, steps: int,
+                        batch_size: int, metrics_every: int = 1,
+                        shuffle: bool = True):
+    """One fused bimodal joint epoch over precomputed latents."""
+    n = Z1.shape[0]
+    nb = n // batch_size
+    kperm, kscan = jax.random.split(key)
+    order = jax.random.permutation(kperm, n) if shuffle else jnp.arange(n)
+    sel = order[:nb * batch_size]
+
+    def reshape(X):
+        return X[sel].reshape(nb, batch_size, -1)
+
+    xs = (reshape(Z1), reshape(Z2), reshape(V1), reshape(V2),
+          jax.random.split(kscan, nb), jnp.arange(nb, dtype=jnp.int32))
+
+    def body(carry, x):
+        joint, totals, loss_sum = carry
+        z1, z2, v1, v2, skey, b_idx = x
+        joint, cd_loss, m = _bimodal_train_batch(
+            joint, mod1_states, mod2_states, skey, z1, z2, v1, v2, lr, mom,
+            weight_decay, warmup=warmup, joint_cd=joint_cd,
+            aux_cond_steps=aux_cond_steps, Dz1=Dz1, steps=steps,
+            compute_metrics=(metrics_every == 1))
+        if metrics_every > 1:
+            def compute(_):
+                rec1, rec2 = bimodal_cross_reconstruct(
+                    joint[0], mod1_states, mod2_states,
+                    jax.random.fold_in(skey, 7), z1, z2, steps=steps,
+                    Dz1=Dz1)
+                return BimodalMetrics(
+                    jnp.asarray(z1.shape[0], jnp.float32),
+                    ((rec1 - v1) ** 2).sum(), ((rec2 - v2) ** 2).sum())
+
+            m = jax.lax.cond(b_idx % metrics_every == 0, compute,
+                             lambda _: zeros_metrics(), None)
+        totals = BimodalMetrics(*(a + b for a, b in zip(totals, m)))
+        return (joint, totals, loss_sum + cd_loss), None
+
+    init = (joint, zeros_metrics(), jnp.zeros((), jnp.float32))
+    (joint, totals, loss_sum), _ = jax.lax.scan(body, init, xs)
+    return joint, loss_sum / jnp.maximum(1, nb), totals
+
+
+@partial(jax.jit,
+         static_argnames=("warmup", "joint_cd", "aux_cond_steps", "Dz1",
+                          "steps", "compute_metrics"))
+def bimodal_batch_step(joint: States, mod1_states, mod2_states, key, z1, z2,
+                       v1, v2, lr, mom, weight_decay, *, warmup: bool,
+                       joint_cd: int, aux_cond_steps: int, Dz1: int,
+                       steps: int, compute_metrics: bool = True):
+    """Single-batch jitted variant (remainder / per-batch path)."""
+    return _bimodal_train_batch(
+        joint, mod1_states, mod2_states, key, z1, z2, v1, v2, lr, mom,
+        weight_decay, warmup=warmup, joint_cd=joint_cd,
+        aux_cond_steps=aux_cond_steps, Dz1=Dz1, steps=steps,
+        compute_metrics=compute_metrics)
+
+
+_bimodal_cross_jit = jax.jit(bimodal_cross_reconstruct,
+                             static_argnames=("steps", "Dz1"))

@@ -1,0 +1,20 @@
+"""Multi-chip scaling: mesh construction + data-parallel training.
+
+The reference is strictly single-process single-device (SURVEY.md §2 rows
+20-21: no torch.distributed / NCCL / any parallelism). The TPU-native
+scaling story (SURVEY.md §5.8) is pure-JAX data parallelism: a 1-D
+``jax.sharding.Mesh`` over all chips, batch sharded along it, and the CD
+statistics (``pos_assoc``, ``neg_assoc``, bias sums — plain sums over the
+batch) reduced by XLA-inserted ICI collectives. Randomness stays invariant
+to chip count because threefry is counter-based and partitionable.
+"""
+
+from multimodal_idbn_tpu.parallel.data_parallel import (  # noqa: F401
+    batch_sharding,
+    dp_cd_update,
+    dp_idbn_epoch,
+    make_mesh,
+    pad_to_multiple,
+    replicate,
+    shard_batch,
+)

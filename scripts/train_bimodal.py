@@ -1,0 +1,223 @@
+"""Train the bimodal DBN (numerosity + MNIST-100).
+
+TPU-native mirror of reference scripts/train_bimodal.py:34-267: same YAML
+schema and flow (per-modality pretraining via dedicated single-modality
+loaders, optional pretrained loads, fine-tune hooks, joint training,
+save). Unlike the reference, the fine-tune hooks actually exist on the
+model (the reference calls methods that don't, SURVEY.md §2.2).
+"""
+
+from pathlib import Path
+import argparse
+import sys
+
+import numpy as np
+import yaml
+
+PROJECT_ROOT = Path(__file__).resolve().parent.parent
+if str(PROJECT_ROOT) not in sys.path:
+    sys.path.insert(0, str(PROJECT_ROOT))
+
+from multimodal_idbn_tpu.models import iMDBN_BiModal  # noqa: E402
+from multimodal_idbn_tpu.data import create_dataloaders_uniform  # noqa: E402
+from multimodal_idbn_tpu.data.loaders import (  # noqa: E402
+    DataLoader,
+    NumerosityDataset,
+)
+from multimodal_idbn_tpu.utils.wandb_compat import wandb  # noqa: E402
+
+DEFAULT_CONFIG_PATH = PROJECT_ROOT / "configs" / "bimodal_training_config.yaml"
+
+
+def parse_args():
+    ap = argparse.ArgumentParser(
+        "Train bimodal DBN (Numerosity + MNIST-100)")
+    ap.add_argument("--config", type=Path, default=DEFAULT_CONFIG_PATH)
+    return ap.parse_args()
+
+
+def load_config(path: Path) -> dict:
+    with path.open("r") as f:
+        return yaml.safe_load(f)
+
+
+def build_params(cfg: dict) -> dict:
+    """YAML → UPPERCASE params (reference train_bimodal.py:34-60)."""
+    t = cfg.get("training", {})
+    return {
+        "LEARNING_RATE": t.get("learning_rate", 0.1),
+        "WEIGHT_PENALTY": t.get("weight_penalty", 1e-4),
+        "INIT_MOMENTUM": t.get("init_momentum", 0.5),
+        "FINAL_MOMENTUM": t.get("final_momentum", 0.95),
+        "LEARNING_RATE_DYNAMIC": t.get("learning_rate_dynamic", True),
+        "CD": t.get("cd", 1),
+        "EPOCHS_MOD1": t.get("epochs_mod1", 100),
+        "EPOCHS_MOD2": t.get("epochs_mod2", 100),
+        "EPOCHS_JOINT": t.get("epochs_joint", 200),
+        "JOINT_LEARNING_RATE": t.get("joint_learning_rate",
+                                     t.get("learning_rate", 0.1)),
+        "JOINT_CD": t.get("joint_cd", t.get("cd", 1)),
+        "CROSS_GIBBS_STEPS": t.get("cross_gibbs_steps", 50),
+        "USE_AUX": t.get("use_aux", True),
+        "JOINT_AUX_COND_STEPS": t.get("JOINT_AUX_COND_STEPS",
+                                      t.get("aux_cond_steps", 50)),
+        "JOINT_AUX_EVERY_K": t.get("JOINT_AUX_EVERY_K", 10),
+        "CROSS_METRICS_EVERY": t.get("cross_metrics_every", 1),
+        "SEED": t.get("seed", 0),
+    }
+
+
+def build_logging_params(cfg: dict) -> dict:
+    log_cfg = cfg.get("logging", {})
+    return {
+        "LOG_EVERY": log_cfg.get("log_every", 5),
+        "LOG_EVERY_PCA": log_cfg.get("log_every_pca", 25),
+        "LOG_EVERY_PROBE": log_cfg.get("log_every_probe", 10),
+        "LOG_EVERY_ENERGY": log_cfg.get("log_every_energy", 50),
+        "LOG_EVERY_TRAJECTORY": log_cfg.get("log_every_trajectory", 50),
+        "LOG_EVERY_NEIGHBORS": log_cfg.get("log_every_neighbors", 50),
+        "LOG_EVERY_CONVERGENCE": log_cfg.get("log_every_convergence", 25),
+    }
+
+
+def maybe_wandb(cfg: dict, params: dict):
+    wcfg = cfg.get("wandb", {})
+    if not wcfg.get("enable", False):
+        return None
+    try:
+        run = wandb.init(project=wcfg.get("project", "bimodal-idbn-tpu"),
+                         entity=wcfg.get("entity"),
+                         name=wcfg.get("run_name"), config=cfg)
+        if run is not None:
+            run.config.update({"_derived_params": params},
+                              allow_val_change=True)
+        return run
+    except Exception as e:
+        print(f"[maybe_wandb] disabled ({e})")
+        return None
+
+
+def _create_modality_dataloader(train_loader, modality_idx: int):
+    """Materialize one modality (+ numeric labels) into a dedicated
+    loader for iDBN pretraining (reference train_bimodal.py:192-233)."""
+    base_dataset = train_loader.dataset
+    if hasattr(base_dataset, "dataset"):
+        base = base_dataset.dataset
+        indices = list(base_dataset.indices)
+    else:
+        base = base_dataset
+        indices = list(range(len(base)))
+
+    idx = np.asarray(indices)
+    images = (base.images if modality_idx == 0 else base.mod2_images)[idx]
+    labels = np.asarray(base.labels)[idx]
+    ds = NumerosityDataset(
+        images=images, labels=labels, onehot=base.onehot[idx],
+        cumArea=np.asarray(base.cumArea_list)[idx],
+        CH=np.asarray(base.CH_list)[idx])
+    return DataLoader(ds, batch_size=train_loader.batch_size, shuffle=True)
+
+
+def _train_mod_dbn(bimodal, train_loader, params, modality_idx: int):
+    dbn = bimodal.mod1_dbn if modality_idx == 0 else bimodal.mod2_dbn
+    dbn.dataloader = _create_modality_dataloader(train_loader, modality_idx)
+    epochs = params["EPOCHS_MOD1" if modality_idx == 0 else "EPOCHS_MOD2"]
+    print(f"  Training MOD{modality_idx + 1} iDBN for {epochs} epochs...")
+    dbn.train(epochs)
+
+
+def main():
+    args = parse_args()
+    cfg = load_config(args.config)
+
+    dataset = cfg.get("dataset", {})
+    model = cfg.get("model", {})
+    params = build_params(cfg)
+    log_params = build_logging_params(cfg)
+    logging_cfg = cfg.get("logging", {})
+
+    train_loader, val_loader, _ = create_dataloaders_uniform(
+        data_path=dataset.get("path"),
+        data_name=dataset.get("name"),
+        batch_size=dataset.get("batch_size", 128),
+        num_workers=dataset.get("num_workers", 1),
+        multimodal_flag=dataset.get("multimodal_flag", True),
+        second_modality=dataset.get("second_modality", "mnist100"),
+        mnist100_path=dataset.get("mnist100_path"),
+        num_classes=model.get("num_labels", 32),
+        n_samples=dataset.get("n_samples", 512),
+        side=dataset.get("side", 100),
+    )
+
+    wandb_run = maybe_wandb(cfg, params)
+
+    joint_hidden = model.get("joint_hidden", 500)
+    if isinstance(joint_hidden, int):
+        joint_hidden = [joint_hidden]
+
+    bimodal = iMDBN_BiModal(
+        layer_sizes_mod1=model.get("mod1_layers", [10000, 1500, 500]),
+        layer_sizes_mod2=model.get("mod2_layers", [1568, 500, 500]),
+        joint_layer_sizes=joint_hidden,
+        params=params,
+        dataloader=train_loader,
+        val_loader=val_loader,
+        device=None,
+        wandb_run=wandb_run,
+        logging_cfg=logging_cfg,
+        seed=params.get("SEED"),
+    )
+
+    # 1) MOD1 DBN (numerosity)
+    mod1_pre = cfg.get("paths", {}).get("mod1_pretrained")
+    if mod1_pre and bimodal.load_pretrained_mod1_dbn(mod1_pre):
+        pass
+    else:
+        if mod1_pre:
+            print("[main] fallback: training MOD1 iDBN from scratch...")
+        else:
+            print("Training MOD1 iDBN (Numerosity)...")
+        _train_mod_dbn(bimodal, train_loader, params, 0)
+
+    ft1 = int(cfg.get("paths", {}).get("mod1_finetune_last_epochs", 0))
+    if ft1 > 0:
+        bimodal.finetune_mod1_last_layer(epochs=ft1, lr_scale=0.3)
+
+    # 2) MOD2 DBN (MNIST-100)
+    mod2_pre = cfg.get("paths", {}).get("mod2_pretrained")
+    if mod2_pre and bimodal.load_pretrained_mod2_dbn(mod2_pre):
+        pass
+    else:
+        if mod2_pre:
+            print("[main] fallback: training MOD2 iDBN from scratch...")
+        else:
+            print("Training MOD2 iDBN (MNIST-100)...")
+        _train_mod_dbn(bimodal, train_loader, params, 1)
+
+    ft2 = int(cfg.get("paths", {}).get("mod2_finetune_last_epochs", 0))
+    if ft2 > 0:
+        bimodal.finetune_mod2_last_layer(epochs=ft2, lr_scale=0.3)
+
+    # 3) Joint training
+    print("Training joint RBM...")
+    bimodal.train_joint(
+        epochs=params["EPOCHS_JOINT"],
+        log_every=log_params["LOG_EVERY"],
+        log_every_pca=log_params["LOG_EVERY_PCA"],
+        log_every_probe=log_params["LOG_EVERY_PROBE"],
+        log_every_trajectory=log_params["LOG_EVERY_TRAJECTORY"])
+
+    # Save
+    save_dir = Path(cfg.get("paths", {}).get("save_dir",
+                                             "./networks")).expanduser()
+    save_dir.mkdir(parents=True, exist_ok=True)
+    save_path = save_dir / (f"{cfg.get('paths', {}).get('save_name', 'bimodal_trained')}.pkl")
+    bimodal.save_model(str(save_path))
+    print(f"Saved bimodal model to {save_path}")
+
+    if wandb_run:
+        wandb_run.finish()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,186 @@
+"""Train a multimodal iDBN (image) + joint RBM with label softmax group.
+
+TPU-native mirror of reference scripts/train_multimodal.py:27-160: same
+YAML schema, same UPPERCASE params mapping, same load-or-train /
+finetune / train_joint / save flow.
+"""
+
+from pathlib import Path
+import argparse
+import sys
+
+import yaml
+
+PROJECT_ROOT = Path(__file__).resolve().parent.parent
+if str(PROJECT_ROOT) not in sys.path:
+    sys.path.insert(0, str(PROJECT_ROOT))
+
+from multimodal_idbn_tpu.models import iMDBN  # noqa: E402
+from multimodal_idbn_tpu.data import (  # noqa: E402
+    create_dataloaders_uniform,
+    create_dataloaders_zipfian,
+)
+from multimodal_idbn_tpu.utils.wandb_compat import wandb  # noqa: E402
+
+DEFAULT_CONFIG_PATH = (PROJECT_ROOT / "configs"
+                       / "multimodal_training_config.yaml")
+
+
+def parse_args():
+    ap = argparse.ArgumentParser(
+        "Train a simple multimodal iDBN (image) + joint RBM with label "
+        "softmax")
+    ap.add_argument("--config", type=Path, default=DEFAULT_CONFIG_PATH)
+    return ap.parse_args()
+
+
+def load_config(path: Path) -> dict:
+    with path.open("r") as f:
+        return yaml.safe_load(f)
+
+
+def build_params(cfg: dict) -> dict:
+    """YAML → UPPERCASE params dict (reference train_multimodal.py:27-51)."""
+    t = cfg.get("training", {})
+    return {
+        "LEARNING_RATE": t.get("learning_rate", 0.1),
+        "WEIGHT_PENALTY": t.get("weight_penalty", 1e-4),
+        "INIT_MOMENTUM": t.get("init_momentum", 0.5),
+        "FINAL_MOMENTUM": t.get("final_momentum", 0.95),
+        "LEARNING_RATE_DYNAMIC": t.get("learning_rate_dynamic", True),
+        "CD": t.get("cd", 1),
+        "EPOCHS_IMG": t.get("epochs_image", 100),
+        "EPOCHS_JOINT": t.get("epochs_joint", 200),
+        "JOINT_LEARNING_RATE": t.get("joint_learning_rate",
+                                     t.get("learning_rate", 0.1)),
+        "JOINT_CD": t.get("joint_cd", t.get("cd", 1)),
+        "CROSS_GIBBS_STEPS": t.get("cross_gibbs_steps", 50),
+        "USE_AUX": t.get("use_aux", True),
+        "JOINT_AUX_COND_STEPS": t.get("JOINT_AUX_COND_STEPS",
+                                      t.get("aux_cond_steps", 50)),
+        "JOINT_AUX_EVERY_K": t.get("JOINT_AUX_EVERY_K", 10),
+        # framework extension: thin the per-batch cross metrics (default 1
+        # keeps the reference's every-batch cadence, imdbn.py:614-639)
+        "CROSS_METRICS_EVERY": t.get("cross_metrics_every", 1),
+        "SEED": t.get("seed", 0),
+    }
+
+
+def build_logging_params(cfg: dict) -> dict:
+    """Logging cadences (reference train_multimodal.py:54-66)."""
+    log_cfg = cfg.get("logging", {})
+    return {
+        "LOG_EVERY": log_cfg.get("log_every", 5),
+        "LOG_EVERY_PCA": log_cfg.get("log_every_pca", 25),
+        "LOG_EVERY_PROBE": log_cfg.get("log_every_probe", 10),
+        "LOG_EVERY_ENERGY": log_cfg.get("log_every_energy", 50),
+        "LOG_EVERY_TRAJECTORY": log_cfg.get("log_every_trajectory", 50),
+        "LOG_EVERY_NEIGHBORS": log_cfg.get("log_every_neighbors", 50),
+        "LOG_EVERY_CONVERGENCE": log_cfg.get("log_every_convergence", 25),
+    }
+
+
+def maybe_wandb(cfg: dict, params: dict):
+    """W&B init gated on yaml `wandb.enable`
+    (reference train_multimodal.py:69-81)."""
+    wcfg = cfg.get("wandb", {})
+    if not wcfg.get("enable", False):
+        return None
+    try:
+        run = wandb.init(
+            project=wcfg.get("project", "multimodal-idbn-tpu"),
+            entity=wcfg.get("entity"),
+            name=wcfg.get("run_name"),
+            config=cfg)
+        if run is not None:
+            run.config.update({"_derived_params": params},
+                              allow_val_change=True)
+        return run
+    except Exception as e:
+        print(f"[maybe_wandb] disabled ({e})")
+        return None
+
+
+def main():
+    args = parse_args()
+    cfg = load_config(args.config)
+
+    dataset = cfg.get("dataset", {})
+    model = cfg.get("model", {})
+    params = build_params(cfg)
+    log_params = build_logging_params(cfg)
+    logging_cfg = cfg.get("logging", {})
+
+    make_loaders = (create_dataloaders_zipfian
+                    if dataset.get("distribution") == "zipfian"
+                    else create_dataloaders_uniform)
+    train_loader, val_loader, _ = make_loaders(
+        data_path=dataset.get("path"),
+        data_name=dataset.get("name"),
+        batch_size=dataset.get("batch_size", 128),
+        num_workers=dataset.get("num_workers", 1),
+        multimodal_flag=dataset.get("multimodal_flag", True),
+        num_classes=model.get("num_labels", 32),
+        n_samples=dataset.get("n_samples", 512),
+        side=dataset.get("side", 100),
+    )
+
+    wandb_run = maybe_wandb(cfg, params)
+
+    imdbn = iMDBN(
+        layer_sizes_img=model.get("image_layers", [10000, 1500, 1500]),
+        joint_layer_size=model.get("joint_hidden", 1000),
+        params=params,
+        dataloader=train_loader,
+        val_loader=val_loader,
+        device=None,
+        num_labels=model.get("num_labels", 32),
+        wandb_run=wandb_run,
+        logging_cfg=logging_cfg,
+        seed=params.get("SEED"),
+    )
+
+    # 1) image iDBN: load if available, otherwise train
+    image_pre = cfg.get("paths", {}).get("image_idbn_pretrained")
+    if image_pre:
+        ok = imdbn.load_pretrained_image_idbn(image_pre)
+        if not ok:
+            print("[main] fallback: training image iDBN from scratch...")
+            imdbn.image_idbn.train(
+                params["EPOCHS_IMG"],
+                log_every_pca=log_params["LOG_EVERY_PCA"],
+                log_every_probe=log_params["LOG_EVERY_PROBE"])
+    else:
+        print("Training image iDBN...")
+        imdbn.image_idbn.train(
+            params["EPOCHS_IMG"],
+            log_every_pca=log_params["LOG_EVERY_PCA"],
+            log_every_probe=log_params["LOG_EVERY_PROBE"])
+
+    # optional: fine-tune last image RBM
+    ft_epochs = int(cfg.get("paths", {}).get(
+        "image_idbn_finetune_last_epochs", 0))
+    if ft_epochs > 0:
+        imdbn.finetune_image_last_layer(epochs=ft_epochs, lr_scale=0.3)
+
+    # 2) joint training + full logging
+    print("Training joint RBM...")
+    imdbn.train_joint(epochs=params["EPOCHS_JOINT"],
+                      log_every=log_params["LOG_EVERY"],
+                      log_every_pca=log_params["LOG_EVERY_PCA"],
+                      log_every_probe=log_params["LOG_EVERY_PROBE"])
+
+    # Save
+    save_dir = Path(cfg.get("paths", {}).get("save_dir",
+                                             "./networks")).expanduser()
+    save_dir.mkdir(parents=True, exist_ok=True)
+    save_path = save_dir / (f"{cfg.get('paths', {}).get('save_name', 'imdbn_trained')}.pkl")
+    imdbn.save_model(str(save_path))
+    print(f"Saved multimodal model to {save_path}")
+
+    if wandb_run:
+        wandb_run.finish()
+
+
+if __name__ == "__main__":
+    main()

@@ -19,6 +19,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The environment's axon bootstrap rewrites jax_platforms to "axon,cpu"
+# even when JAX_PLATFORMS=cpu is set; force CPU before backend init.
+jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_threefry_partitionable", True)
 # Persistent compilation cache: chain ops compile once across test runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")

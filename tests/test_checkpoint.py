@@ -1,0 +1,228 @@
+"""Checkpoint subsystem tests: native npz round trips, reference pickle
+export (numpy shims implementing the adapter contract), and import of
+reference-style torch pickles including old Groundeep module paths."""
+
+import pickle
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from multimodal_idbn_tpu.checkpoint import (
+    NumpyDBN,
+    NumpyRBM,
+    export_reference_pickle,
+    import_reference_pickle,
+    load_checkpoint,
+    save_checkpoint,
+)
+from multimodal_idbn_tpu.data import create_dataloaders_uniform
+from multimodal_idbn_tpu.models import RBM, iDBN, iMDBN
+
+PARAMS = {
+    "LEARNING_RATE": 0.1,
+    "WEIGHT_PENALTY": 1e-4,
+    "INIT_MOMENTUM": 0.5,
+    "FINAL_MOMENTUM": 0.9,
+    "LEARNING_RATE_DYNAMIC": True,
+    "CD": 1,
+    "CROSS_GIBBS_STEPS": 3,
+    "JOINT_AUX_COND_STEPS": 3,
+}
+K, SIDE = 4, 12
+
+
+@pytest.fixture(scope="module")
+def imdbn_model():
+    train, val, _ = create_dataloaders_uniform(batch_size=16, n_samples=64,
+                                               num_classes=K, side=SIDE,
+                                               seed=0)
+    m = iMDBN([SIDE * SIDE, 32, 16], 12, params=PARAMS, dataloader=train,
+              val_loader=val, num_labels=K, seed=0)
+    m.image_idbn.train(epochs=2)
+    m.init_joint_bias_from_data(n_batches=2)
+    return m
+
+
+# ------------------------- native npz checkpoints -------------------------
+
+def test_rbm_checkpoint_roundtrip(tmp_path):
+    rbm = RBM(20, 10, 0.1, 1e-4, 0.5, seed=0)
+    rbm.train_epoch(np.random.RandomState(0).rand(8, 20).astype(np.float32),
+                    0, 1, CD=1)
+    p = str(tmp_path / "rbm.npz")
+    save_checkpoint(rbm, p)
+    rbm2 = RBM(20, 10, 0.1, 1e-4, 0.5, seed=99)
+    load_checkpoint(rbm2, p)
+    np.testing.assert_array_equal(np.asarray(rbm.W), np.asarray(rbm2.W))
+    # momentum buffers ARE checkpointed (unlike the reference, SURVEY §5.4)
+    np.testing.assert_array_equal(np.asarray(rbm.W_m), np.asarray(rbm2.W_m))
+
+
+def test_imdbn_checkpoint_roundtrip(tmp_path, imdbn_model):
+    m = imdbn_model
+    p = str(tmp_path / "imdbn.npz")
+    save_checkpoint(m, p, extra={"epoch": np.asarray(7)})
+    train, val, _ = create_dataloaders_uniform(batch_size=16, n_samples=64,
+                                               num_classes=K, side=SIDE,
+                                               seed=0)
+    m2 = iMDBN([SIDE * SIDE, 32, 16], 12, params=PARAMS, dataloader=train,
+               val_loader=val, num_labels=K, seed=123)
+    extra = load_checkpoint(m2, p)
+    assert int(extra["epoch"]) == 7
+    np.testing.assert_array_equal(np.asarray(m.joint_rbm.W),
+                                  np.asarray(m2.joint_rbm.W))
+    np.testing.assert_array_equal(np.asarray(m.image_idbn.layers[0].W),
+                                  np.asarray(m2.image_idbn.layers[0].W))
+    np.testing.assert_array_equal(np.asarray(m.z_class_mean),
+                                  np.asarray(m2.z_class_mean))
+    # behavior identical after restore
+    x = np.random.RandomState(1).rand(4, SIDE * SIDE).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(m.image_idbn.represent(x)),
+                               np.asarray(m2.image_idbn.represent(x)))
+
+
+# ------------------------- export (numpy shims) -------------------------
+
+def test_export_reference_pickle(tmp_path, imdbn_model):
+    m = imdbn_model
+    p = str(tmp_path / "export.pkl")
+    export_reference_pickle(m, p)
+    with open(p, "rb") as f:
+        payload = pickle.load(f)
+
+    # dual format (SURVEY.md §2.1(13))
+    assert "layers" in payload and "params" in payload  # DBNAdapter detect
+    for key in ("image_idbn", "joint_rbm", "num_labels", "Dz_img",
+                "arch_str", "features", "metadata", "z_class_mean"):
+        assert key in payload, key
+
+    # adapter contract: numpy shims with working forward/backward
+    joint = payload["joint_rbm"]
+    assert isinstance(joint, NumpyRBM)
+    assert joint.num_visible == 16 + K
+    assert joint.softmax_groups == [(16, 16 + K)]
+    h = joint.forward(np.zeros((2, 16 + K), np.float32))
+    assert h.shape == (2, 12)
+    v = joint.backward(h)
+    assert v.shape == (2, 16 + K)
+    np.testing.assert_allclose(v[:, 16:].sum(1), 1.0, atol=1e-5)
+
+    # exported values match the live model
+    np.testing.assert_allclose(joint.W, np.asarray(m.joint_rbm.W))
+    dbn = payload["image_idbn"]
+    assert isinstance(dbn, NumpyDBN)
+    x = np.random.RandomState(2).rand(3, SIDE * SIDE).astype(np.float32)
+    np.testing.assert_allclose(dbn.represent(x),
+                               np.asarray(m.image_idbn.represent(x)),
+                               rtol=1e-4, atol=1e-5)
+    # sample_visible produces one-hot label block
+    s = joint.sample_visible(joint.visible_probs(h),
+                             rng=np.random.RandomState(0))
+    np.testing.assert_allclose(s[:, 16:].sum(1), 1.0)
+
+
+def test_exported_pickle_loads_without_jax_state(tmp_path, imdbn_model):
+    """The exported payload unpickles into pure-numpy objects."""
+    p = str(tmp_path / "export2.pkl")
+    export_reference_pickle(imdbn_model, p)
+    with open(p, "rb") as f:
+        payload = pickle.load(f)
+    for rbm in payload["layers"]:
+        assert isinstance(rbm.W, np.ndarray)
+        assert isinstance(rbm.hid_bias, np.ndarray)
+
+
+# ------------------------- import (torch/reference pickles) ----------------
+
+def _install_fake_module(module_path, class_names):
+    parts = module_path.split(".")
+    created = []
+    for i in range(1, len(parts) + 1):
+        name = ".".join(parts[:i])
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+            created.append(name)
+    mod = sys.modules[module_path]
+    classes = {}
+    for cn in class_names:
+        cls = type(cn, (object,), {"__module__": module_path})
+        setattr(mod, cn, cls)
+        classes[cn] = cls
+    return created, classes
+
+
+def _cleanup_modules(names):
+    for n in names:
+        sys.modules.pop(n, None)
+
+
+@pytest.mark.parametrize("module_path", ["imdbn.models.rbm",
+                                         "src.classes.rbm_model"])
+def test_import_reference_pickle(tmp_path, module_path):
+    """Pickles referencing reference/Groundeep class paths unpickle via
+    shims and convert to framework RBMs."""
+    import torch
+
+    created, classes = _install_fake_module(module_path, ["RBM"])
+    try:
+        r = classes["RBM"]()
+        g = torch.Generator().manual_seed(0)
+        r.W = torch.randn(6, 4, generator=g)
+        r.hid_bias = torch.zeros(4)
+        r.vis_bias = torch.randn(6, generator=g)
+        r.lr = 0.2
+        r.weight_decay = 1e-4
+        r.momentum = 0.5
+        r.final_momentum = 0.95
+        r.softmax_groups = [(4, 6)]
+        p = str(tmp_path / "ref.pkl")
+        with open(p, "wb") as f:
+            pickle.dump({"layers": [r], "params": {"CD": 5}}, f)
+        W_ref = r.W.numpy().copy()
+    finally:
+        _cleanup_modules(created)
+
+    payload = import_reference_pickle(p)
+    assert payload["params"]["CD"] == 5
+    rbm = payload["layers"][0]
+    assert isinstance(rbm, RBM)
+    assert rbm.num_visible == 6 and rbm.num_hidden == 4
+    assert rbm.lr == 0.2
+    assert rbm.softmax_groups == [(4, 6)]
+    np.testing.assert_allclose(np.asarray(rbm.W), W_ref)
+    # momentum re-zeroed like the reference loader (imdbn.py:329-331)
+    assert float(np.abs(np.asarray(rbm.W_m)).sum()) == 0.0
+    # converted RBM is live
+    h = rbm.forward(np.zeros((2, 6), np.float32))
+    assert np.asarray(h).shape == (2, 4)
+
+
+def test_imported_layers_feed_load_pretrained(tmp_path, imdbn_model):
+    """import_reference_pickle output plugs into load_pretrained_image_idbn."""
+    import torch
+
+    created, classes = _install_fake_module("imdbn.models.rbm", ["RBM"])
+    try:
+        layers = []
+        dims = [(SIDE * SIDE, 32), (32, 16)]
+        for v, h in dims:
+            r = classes["RBM"]()
+            r.W = torch.randn(v, h) * 0.01
+            r.hid_bias = torch.zeros(h)
+            r.vis_bias = torch.zeros(v)
+            r.softmax_groups = []
+            layers.append(r)
+        p = str(tmp_path / "ref_idbn.pkl")
+        with open(p, "wb") as f:
+            pickle.dump({"layers": layers, "params": {}}, f)
+    finally:
+        _cleanup_modules(created)
+
+    payload = import_reference_pickle(p)
+    p2 = str(tmp_path / "converted.pkl")
+    with open(p2, "wb") as f:
+        pickle.dump({"layers": payload["layers"], "params": {}}, f)
+    assert imdbn_model.load_pretrained_image_idbn(p2)
+    assert imdbn_model.image_idbn.layers[0].num_hidden == 32

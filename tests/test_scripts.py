@@ -1,0 +1,42 @@
+"""CLI smoke test: the full train_multimodal.py flow on the smoke config
+(train image iDBN → joint training → dual-format pickle save)."""
+
+import os
+import pickle
+import subprocess
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def test_train_multimodal_smoke(tmp_path):
+    cfg = (ROOT / "configs" / "smoke_multimodal.yaml").read_text()
+    cfg = cfg.replace("/tmp/imdbn_smoke", str(tmp_path))
+    cfg_path = tmp_path / "smoke.yaml"
+    cfg_path.write_text(cfg)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # conftest-equivalent platform forcing for the subprocess
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=1")
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu');"
+         "import sys; sys.argv = ['train_multimodal.py', '--config', "
+         f"{str(cfg_path)!r}];"
+         "import runpy; runpy.run_path("
+         f"{str(ROOT / 'scripts' / 'train_multimodal.py')!r}, "
+         "run_name='__main__')"],
+        capture_output=True, text=True, env=env, cwd=str(ROOT),
+        timeout=900)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "Saved multimodal model" in proc.stdout
+
+    save = tmp_path / "imdbn_smoke.pkl"
+    assert save.exists()
+    with open(save, "rb") as f:
+        payload = pickle.load(f)
+    assert "layers" in payload and "image_idbn" in payload
+    assert payload["metadata"]["model_type"] == "iMDBN"
