@@ -133,9 +133,23 @@ def bench_torch_cpu():
     return epoch_s
 
 
+def bench_gibbs_chains():
+    """Secondary BASELINE metric: HBM-resident joint-chain throughput
+    (flagship joint RBM 500+32→500, batch 128, softmax label group)."""
+    from multimodal_idbn_tpu.utils.profiling import measure_gibbs_steps_per_sec
+
+    stats = measure_gibbs_steps_per_sec(num_visible=532, num_hidden=500,
+                                        batch_size=128, n_steps=500)
+    log(f"[bench] joint Gibbs chain: "
+        f"{stats['chain_steps_per_sec']:.0f} chain-steps/s "
+        f"({stats['cell_updates_per_sec']:.3e} cell updates/s)")
+    return stats
+
+
 def main():
     torch_epoch = bench_torch_cpu()
     jax_epoch = bench_jax()
+    bench_gibbs_chains()
     result = {
         "metric": "idbn_cd1_epoch_time_10000-1500-500_b128",
         "value": round(jax_epoch, 4),

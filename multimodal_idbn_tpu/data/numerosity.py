@@ -80,7 +80,8 @@ def generate_dot_image(rng: np.random.RandomState, n_dots: int,
 def generate_numerosity_dataset(n_samples: int = 512, num_classes: int = 32,
                                 side: int = 100, seed: int = 0,
                                 class_probs: Optional[np.ndarray] = None,
-                                numerosities: Optional[np.ndarray] = None
+                                numerosities: Optional[np.ndarray] = None,
+                                backend: str = "auto"
                                 ) -> Dict[str, np.ndarray]:
     """Generate a full synthetic numerosity dataset.
 
@@ -91,6 +92,10 @@ def generate_numerosity_dataset(n_samples: int = 512, num_classes: int = 32,
         class_probs: per-class sampling probabilities (None = uniform;
             zipfian datasets pass 1/rank weights).
         numerosities: the numerosity value of each class (default 1..K).
+        backend: "auto" (native C++ generator when buildable, else
+            Python), "native", or "python". Both backends are
+            deterministic per seed; their RNG streams differ, so the
+            backends produce different (statistically matching) images.
 
     Returns dict with keys: images [N, side, side], labels (numeric
     numerosity per sample), class_idx [N], onehot [N, K], cumArea, CH,
@@ -106,18 +111,34 @@ def generate_numerosity_dataset(n_samples: int = 512, num_classes: int = 32,
     class_probs = class_probs / class_probs.sum()
 
     cls = rng.choice(num_classes, size=n_samples, p=class_probs)
-    images = np.zeros((n_samples, side, side), np.float32)
-    cum_area = np.zeros(n_samples, np.float32)
-    ch = np.zeros(n_samples, np.float32)
-    density = np.zeros(n_samples, np.float32)
-    n_dots = np.zeros(n_samples, np.int32)
-    for i in range(n_samples):
-        img, f = generate_dot_image(rng, int(numerosities[cls[i]]), side=side)
-        images[i] = img
-        cum_area[i] = f["cumArea"]
-        ch[i] = f["CH"]
-        density[i] = f["density"]
-        n_dots[i] = f["N"]
+
+    use_native = False
+    if backend in ("auto", "native"):
+        from multimodal_idbn_tpu.data import native as _native
+        use_native = _native.native_available()
+        if backend == "native" and not use_native:
+            raise RuntimeError("native dotgen backend unavailable")
+
+    if use_native:
+        from multimodal_idbn_tpu.data import native as _native
+        per_sample = numerosities[cls].astype(np.int32)
+        images, cum_area, ch, density, n_dots = (
+            _native.generate_dot_dataset_native(seed, per_sample,
+                                                side=side))
+    else:
+        images = np.zeros((n_samples, side, side), np.float32)
+        cum_area = np.zeros(n_samples, np.float32)
+        ch = np.zeros(n_samples, np.float32)
+        density = np.zeros(n_samples, np.float32)
+        n_dots = np.zeros(n_samples, np.int32)
+        for i in range(n_samples):
+            img, f = generate_dot_image(rng, int(numerosities[cls[i]]),
+                                        side=side)
+            images[i] = img
+            cum_area[i] = f["cumArea"]
+            ch[i] = f["CH"]
+            density[i] = f["density"]
+            n_dots[i] = f["N"]
 
     onehot = np.eye(num_classes, dtype=np.float32)[cls]
     return {

@@ -188,22 +188,31 @@ class iDBN:
 
         epoch_key = jax.random.key(self.params.get("SEED", 0))
 
+        from multimodal_idbn_tpu.utils.profiling import StepTimer
+        timer = StepTimer()
+
         for epoch in range(int(epochs)):
-            if fused:
-                mean_loss = self._train_epoch_fused(
-                    epoch, epochs, data, jax.random.fold_in(epoch_key, epoch))
-            else:
-                losses = []
-                for img, _ in self.dataloader:
-                    v = as_array(img)
-                    for rbm in self.layers:
-                        loss = rbm.train_epoch(v, epoch, epochs, CD=self.cd_k)
-                        v = rbm.forward(v)
-                        losses.append(float(loss))
-                mean_loss = float(np.mean(losses)) if losses else 0.0
+            with timer.step():
+                if fused:
+                    mean_loss = self._train_epoch_fused(
+                        epoch, epochs, data,
+                        jax.random.fold_in(epoch_key, epoch))
+                else:
+                    losses = []
+                    for img, _ in self.dataloader:
+                        v = as_array(img)
+                        for rbm in self.layers:
+                            loss = rbm.train_epoch(v, epoch, epochs,
+                                                   CD=self.cd_k)
+                            v = rbm.forward(v)
+                            losses.append(float(loss))
+                    mean_loss = float(np.mean(losses)) if losses else 0.0
             self.loss_history.append(mean_loss)
+            timer.log_to(self.wandb_run, prefix="perf/idbn_epoch",
+                         epoch=epoch)
 
             self._log_epoch(epoch, mean_loss, log_every_pca, log_every_probe)
+        self.epoch_timer = timer
 
     def _log_epoch(self, epoch: int, mean_loss: float, log_every_pca: int,
                    log_every_probe: int) -> None:

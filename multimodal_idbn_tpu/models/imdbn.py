@@ -342,12 +342,17 @@ class iMDBN:
             n = Z.shape[0]
             nb = n // bs
 
+        from multimodal_idbn_tpu.utils.profiling import StepTimer
+        timer = StepTimer()
+
         for epoch in range(int(epochs)):
             warmup = epoch < WARMUP_Y_EPOCHS
             jr = self.joint_rbm
             lr = jr.lr / (1 + 0.01 * epoch) if jr.dynamic_lr else jr.lr
             mom = jr.momentum if epoch <= 5 else jr.final_momentum
 
+            timer_ctx = timer.step()
+            timer_ctx.__enter__()
             if fused:
                 key = jax.random.fold_in(epoch_key, epoch)
                 joint, mean_cd, totals = imdbn_ops.joint_epoch(
@@ -380,10 +385,14 @@ class iMDBN:
             else:
                 cd_losses, tot, npix = self._train_joint_epoch_batched(
                     epoch, epochs, warmup, aux_cond_steps)
+            timer_ctx.__exit__(None, None, None)
+            timer.log_to(self.wandb_run, prefix="perf/joint_epoch",
+                         epoch=epoch)
 
             self._log_joint_epoch(epoch, cd_losses, tot, npix,
                                   log_every_pca, log_every_probe, log_every)
 
+        self.epoch_timer = timer
         print("[iMDBN] joint training finished.")
 
     def _train_joint_epoch_batched(self, epoch, epochs, warmup,
