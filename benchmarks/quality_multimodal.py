@@ -1,0 +1,120 @@
+"""Quality benchmark: full flagship multimodal training run.
+
+Trains the reference's flagship configuration (image iDBN
+[10000, 1500, 500] CD-10 for 100 epochs; joint RBM 500+32→500 CD-5 for
+150 epochs with cross_gibbs_steps=50 and JOINT_AUX_COND_STEPS=30 —
+configs/multimodal_training_config.yaml:9-34) on the synthetic numerosity
+dataset and reports the quality metrics the reference tracks
+(SURVEY.md §6): cross_modality/text_top1, text_top3, text_ce, image_mse,
+idbn auto-recon MSE, and linear-probe accuracies.
+
+Usage: python benchmarks/quality_multimodal.py [--quick]
+Prints one JSON dict at the end; human-readable progress on stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="reduced epochs for smoke runs")
+    ap.add_argument("--n-samples", type=int, default=2048)
+    args = ap.parse_args()
+
+    import numpy as np
+
+    from multimodal_idbn_tpu.data import create_dataloaders_uniform
+    from multimodal_idbn_tpu.models import iMDBN
+    from multimodal_idbn_tpu.utils.probe_utils import log_linear_probe
+
+    epochs_img = 10 if args.quick else 100
+    epochs_joint = 10 if args.quick else 150
+
+    params = {
+        "LEARNING_RATE": 0.1,
+        "WEIGHT_PENALTY": 1e-4,
+        "INIT_MOMENTUM": 0.5,
+        "FINAL_MOMENTUM": 0.95,
+        "LEARNING_RATE_DYNAMIC": True,
+        "CD": 10,
+        "JOINT_LEARNING_RATE": 0.04,
+        "JOINT_CD": 5,
+        "CROSS_GIBBS_STEPS": 50,
+        "JOINT_AUX_COND_STEPS": 30,
+        "SEED": 0,
+    }
+
+    log(f"[quality] building dataset ({args.n_samples} x 100x100, "
+        f"32 classes)...")
+    train, val, _ = create_dataloaders_uniform(
+        batch_size=128, n_samples=args.n_samples, num_classes=32, side=100,
+        seed=0)
+
+    model = iMDBN([10000, 1500, 500], 500, params=params, dataloader=train,
+                  val_loader=val, num_labels=32, seed=0)
+
+    log(f"[quality] training image iDBN ({epochs_img} epochs, CD=10)...")
+    t0 = time.time()
+    model.image_idbn.train(epochs=epochs_img, log_every_pca=10**9,
+                           log_every_probe=10**9)
+    t_img = time.time() - t0
+    log(f"[quality] image iDBN: {t_img:.1f}s "
+        f"(final loss {model.image_idbn.loss_history[-1]:.4f})")
+
+    # auto-recon MSE on the val batch (reference idbn.py:236)
+    vb = model.image_idbn.val_batch
+    rec = np.clip(np.asarray(model.image_idbn.reconstruct(vb)), 0, 1)
+    auto_recon_mse = float(np.mean((rec - np.asarray(vb).reshape(
+        len(vb), -1)) ** 2))
+    log(f"[quality] idbn auto_recon_mse: {auto_recon_mse:.4f}")
+
+    log(f"[quality] joint training ({epochs_joint} epochs, CD=5, "
+        f"cross_steps=50)...")
+    t0 = time.time()
+    model.train_joint(epochs=epochs_joint, log_every=10**9,
+                      log_every_pca=10**9, log_every_probe=10**9)
+    t_joint = time.time() - t0
+    log(f"[quality] joint: {t_joint:.1f}s | last-epoch metrics: "
+        f"{model.last_metrics}")
+
+    # Linear probes on the top image layer (reference cadence metric)
+    probe_acc = {}
+    try:
+        probe_acc = log_linear_probe(model.image_idbn, epoch=epochs_img,
+                                     n_bins=5, steps=1000,
+                                     layer_tag="layer2", upto_layer=2,
+                                     save_csv=False)
+    except Exception as e:
+        log(f"[quality] probe failed: {e}")
+
+    result = {
+        "config": "flagship [10000,1500,500]+joint500 K=32 "
+                  f"N={args.n_samples}" + (" (quick)" if args.quick else ""),
+        "epochs_img": epochs_img,
+        "epochs_joint": epochs_joint,
+        "idbn_final_loss": model.image_idbn.loss_history[-1],
+        "idbn_auto_recon_mse": auto_recon_mse,
+        "image_train_seconds": round(t_img, 1),
+        "joint_train_seconds": round(t_joint, 1),
+        "joint_epoch_seconds_p50": round(model.epoch_timer.p50(), 3),
+        **{k: round(v, 4) for k, v in (model.last_metrics or {}).items()},
+        **{f"probe/{k}": round(v, 4) for k, v in probe_acc.items()},
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

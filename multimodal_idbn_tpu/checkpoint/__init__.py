@@ -76,6 +76,44 @@ def save_checkpoint(model, path: str, extra: Dict | None = None) -> None:
     np.savez(path, **arrays)
 
 
+def save_checkpoint_orbax(model, path: str) -> None:
+    """Orbax-backed checkpoint (async-capable, production path). Same
+    content as the npz format: every RBM state + z_class_mean."""
+    import orbax.checkpoint as ocp
+
+    tree: Dict = {}
+    for name, rbm in _collect_rbms(model).items():
+        tree[name.replace("/", ".")] = {
+            field: np.asarray(arr)
+            for field, arr in zip(_STATE_FIELDS, rbm.state)}
+    if getattr(model, "z_class_mean", None) is not None:
+        tree["z_class_mean"] = np.asarray(model.z_class_mean)
+
+    import os
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, tree, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(model, path: str) -> None:
+    """Restore an orbax checkpoint written by :func:`save_checkpoint_orbax`."""
+    import os
+
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from multimodal_idbn_tpu.ops.rbm_ops import RBMState
+
+    ckptr = ocp.StandardCheckpointer()
+    tree = ckptr.restore(os.path.abspath(path))
+    for name, rbm in _collect_rbms(model).items():
+        sub = tree[name.replace("/", ".")]
+        rbm.state = RBMState(*(jnp.asarray(sub[f]) for f in _STATE_FIELDS))
+    if "z_class_mean" in tree and hasattr(model, "z_class_mean"):
+        model.z_class_mean = jnp.asarray(tree["z_class_mean"])
+
+
 def load_checkpoint(model, path: str) -> Dict[str, np.ndarray]:
     """Restore RBM states into ``model`` from an npz checkpoint; returns
     any ``extra/*`` arrays."""

@@ -148,6 +148,8 @@ def bimodal_joint_epoch(joint: States, mod1_states, mod2_states, key,
     """One fused bimodal joint epoch over precomputed latents."""
     n = Z1.shape[0]
     nb = n // batch_size
+    if nb == 0:  # dataset smaller than one batch: caller's remainder
+        return joint, jnp.zeros((), jnp.float32), zeros_metrics()
     kperm, kscan = jax.random.split(key)
     order = jax.random.permutation(kperm, n) if shuffle else jnp.arange(n)
     sel = order[:nb * batch_size]

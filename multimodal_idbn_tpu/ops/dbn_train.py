@@ -50,6 +50,8 @@ def idbn_epoch(states: States, key: Array, data: Array, lr, mom,
     """
     n = data.shape[0]
     nb = n // batch_size
+    if nb == 0:  # dataset smaller than one batch: caller's remainder
+        return states, jnp.zeros((0, len(states)), jnp.float32)
     kperm, kscan = jax.random.split(key)
     if shuffle:
         order = jax.random.permutation(kperm, n)

@@ -267,6 +267,8 @@ def joint_epoch(joint: rbm_ops.RBMState, idbn_states, key: Array, Z: Array,
     """
     n = Z.shape[0]
     nb = n // batch_size
+    if nb == 0:  # dataset smaller than one batch: caller's remainder
+        return joint, jnp.zeros((), jnp.float32), zeros_metrics()
     kperm, kscan = jax.random.split(key)
     order = jax.random.permutation(kperm, n) if shuffle else jnp.arange(n)
     sel = order[:nb * batch_size]

@@ -226,3 +226,21 @@ def test_imported_layers_feed_load_pretrained(tmp_path, imdbn_model):
         pickle.dump({"layers": payload["layers"], "params": {}}, f)
     assert imdbn_model.load_pretrained_image_idbn(p2)
     assert imdbn_model.image_idbn.layers[0].num_hidden == 32
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from multimodal_idbn_tpu.checkpoint import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    rbm = RBM(20, 10, 0.1, 1e-4, 0.5, seed=0)
+    rbm.train_epoch(np.random.RandomState(0).rand(8, 20).astype(np.float32),
+                    0, 1, CD=1)
+    p = str(tmp_path / "orbax_ckpt")
+    save_checkpoint_orbax(rbm, p)
+    rbm2 = RBM(20, 10, 0.1, 1e-4, 0.5, seed=5)
+    load_checkpoint_orbax(rbm2, p)
+    np.testing.assert_array_equal(np.asarray(rbm.W), np.asarray(rbm2.W))
+    np.testing.assert_array_equal(np.asarray(rbm.hb_m), np.asarray(rbm2.hb_m))
