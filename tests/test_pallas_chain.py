@@ -1,0 +1,96 @@
+"""Chain-kernel parity tests (TPU-only: Mosaic PRNG + full-VMEM chains).
+
+On the CPU test mesh the kernel is exercised in interpret mode for the
+deterministic family only (no pltpu.prng_* there)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pl = pytest.importorskip("jax.experimental.pallas")
+
+from multimodal_idbn_tpu.ops import pallas_chain as pc  # noqa: E402
+from multimodal_idbn_tpu.ops import rbm_ops  # noqa: E402
+
+Dz, K, H, B = 24, 4, 16, 8
+V = Dz + K
+GROUPS = ((Dz, V),)
+
+
+def _setup(seed=0):
+    state = rbm_ops.init_rbm_state(jax.random.key(seed), V, H)
+    rng = np.random.RandomState(seed)
+    z = jnp.asarray(rng.rand(B, Dz).astype(np.float32))
+    v_known = jnp.concatenate([z, jnp.zeros((B, K))], 1).astype(jnp.float32)
+    km = jnp.concatenate([jnp.ones((B, Dz)), jnp.zeros((B, K))],
+                         1).astype(jnp.float32)
+    return state, v_known, km
+
+
+def _interpret(fn, *args, **kw):
+    from jax.experimental import pallas as pl_mod
+
+    if jax.default_backend() in ("tpu", "axon"):
+        return fn(*args, **kw)
+    orig = pl_mod.pallas_call
+
+    def patched(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    pl_mod.pallas_call = patched
+    try:
+        return fn(*args, **kw)
+    finally:
+        pl_mod.pallas_call = orig
+
+
+def test_deterministic_chain_parity():
+    state, v_known, km = _setup()
+    key = jax.random.key(7)
+    fast = _interpret(pc.conditional_gibbs_fast, state, key, v_known, km,
+                      n_steps=12, groups=GROUPS)
+    ref = pc.conditional_gibbs_reference(state, key, v_known, km,
+                                         n_steps=12, groups=GROUPS)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_deterministic_chain_no_groups():
+    state, v_known, km = _setup(1)
+    key = jax.random.key(3)
+    fast = _interpret(pc.conditional_gibbs_fast, state, key, v_known, km,
+                      n_steps=5, groups=())
+    ref = pc.conditional_gibbs_reference(state, key, v_known, km,
+                                         n_steps=5, groups=())
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() not in ("tpu", "axon"),
+    reason="pltpu.prng_* has no CPU interpret support")
+def test_noisy_chain_properties():
+    state, v_known, km = _setup(2)
+    key = jax.random.key(5)
+    vk2 = jnp.concatenate(
+        [jnp.zeros((B, Dz)),
+         jnp.eye(K)[np.random.RandomState(0).randint(0, K, B)]],
+        1).astype(jnp.float32)
+    mu = jnp.asarray(np.random.RandomState(1).rand(B, Dz),
+                     dtype=jnp.float32)
+    out = pc.noisy_meanfield_fast(state, key, vk2, 1.0 - km, n_steps=9,
+                                  mu_k=mu, groups=GROUPS, seed=3)
+    o = np.asarray(out)
+    assert (o >= 0).all() and (o <= 1).all()
+    np.testing.assert_allclose(o[:, Dz:], np.asarray(vk2[:, Dz:]))
+    o2 = np.asarray(pc.noisy_meanfield_fast(state, key, vk2, 1.0 - km,
+                                            n_steps=9, mu_k=mu,
+                                            groups=GROUPS, seed=3))
+    np.testing.assert_array_equal(o, o2)  # deterministic per seed
+
+
+def test_supported_guard():
+    assert not pc.chain_kernel_supported(2048, 500, 500)  # B too large
+    assert not pc.chain_kernel_supported(128, 10000, 1500)  # W too large
