@@ -251,19 +251,21 @@ def _joint_train_batch(joint: rbm_ops.RBMState, idbn_states, key: Array,
          static_argnames=("warmup", "joint_cd", "aux_cond_steps", "Dz",
                           "steps", "groups", "use_free_energy",
                           "zclamp_every", "batch_size", "metrics_every",
-                          "shuffle"))
+                          "shuffle", "mesh", "shard_axis"))
 def joint_epoch(joint: rbm_ops.RBMState, idbn_states, key: Array, Z: Array,
                 Y: Array, IMG: Array, lr, mom, weight_decay, z_class_mean,
                 *, warmup: bool, joint_cd: int, aux_cond_steps: int,
                 Dz: int, steps: int, groups: SoftmaxGroups,
                 use_free_energy: bool = False, zclamp_every: int = 50,
                 batch_size: int = 128, metrics_every: int = 1,
-                shuffle: bool = True):
+                shuffle: bool = True, mesh=None, shard_axis=None):
     """One fused joint-training epoch over precomputed latents Z.
 
     Returns (joint', mean_cd_loss, CrossMetrics sums). Remainder samples
     beyond ``nb*batch_size`` are handled by the caller via
-    ``joint_train_batch_step``.
+    ``joint_train_batch_step``. With ``mesh``/``shard_axis`` set, the
+    per-step batch axis is kept sharded over the mesh (data parallelism;
+    SURVEY.md §5.8).
     """
     n = Z.shape[0]
     nb = n // batch_size
@@ -275,6 +277,11 @@ def joint_epoch(joint: rbm_ops.RBMState, idbn_states, key: Array, Z: Array,
     Zb = Z[sel].reshape(nb, batch_size, -1)
     Yb = Y[sel].reshape(nb, batch_size, -1)
     Ib = IMG[sel].reshape(nb, batch_size, -1)
+    if mesh is not None and shard_axis is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(mesh, P(None, shard_axis, None))
+        Zb, Yb, Ib = (jax.lax.with_sharding_constraint(x, sh)
+                      for x in (Zb, Yb, Ib))
     step_keys = jax.random.split(kscan, nb)
 
     def body(carry, xs):

@@ -13,6 +13,7 @@ from multimodal_idbn_tpu.parallel.data_parallel import (  # noqa: F401
     batch_sharding,
     dp_cd_update,
     dp_idbn_epoch,
+    dp_joint_epoch,
     make_mesh,
     pad_to_multiple,
     replicate,

@@ -125,6 +125,27 @@ def dp_idbn_epoch(mesh: Mesh, states, key: Array, data, lr, mom,
                               mesh=mesh, axis=axis)
 
 
+def dp_joint_epoch(mesh: Mesh, joint, idbn_states, key, Z, Y, IMG, lr, mom,
+                   weight_decay, z_class_mean, **static):
+    """Data-parallel fused joint-training epoch: latents/labels/images
+    sharded over the batch axis, joint + iDBN parameters replicated.
+    Accepts the same static kwargs as ``imdbn_ops.joint_epoch``."""
+    from multimodal_idbn_tpu.ops import imdbn_ops
+
+    axis = mesh.axis_names[0]
+    sh = batch_sharding(mesh)
+    Z, Y, IMG = (jax.device_put(jnp.asarray(a, jnp.float32), sh)
+                 for a in (Z, Y, IMG))
+    joint = replicate(mesh, joint)
+    idbn_states = replicate(mesh, idbn_states)
+    if z_class_mean is not None:
+        z_class_mean = jax.device_put(jnp.asarray(z_class_mean),
+                                      replicated(mesh))
+    return imdbn_ops.joint_epoch(joint, idbn_states, key, Z, Y, IMG, lr,
+                                 mom, weight_decay, z_class_mean,
+                                 mesh=mesh, shard_axis=axis, **static)
+
+
 from functools import partial  # noqa: E402
 
 

@@ -132,3 +132,35 @@ def test_dp_joint_epoch_runs_sharded():
     joint2, cd, totals = ref
     assert np.isfinite(float(cd))
     assert float(totals.n) == N
+
+
+def test_dp_joint_epoch_wrapper_matches_single_device():
+    """dp_joint_epoch (sharded) agrees with the plain joint_epoch."""
+    from multimodal_idbn_tpu.ops import imdbn_ops
+    from multimodal_idbn_tpu.parallel import dp_joint_epoch
+
+    Dz, K, Hj, N = 16, 4, 12, 32
+    rng = np.random.RandomState(3)
+    Z = rng.rand(N, Dz).astype(np.float32)
+    Y = np.eye(K, dtype=np.float32)[rng.randint(0, K, N)]
+    IMG = (rng.rand(N, 36) > 0.5).astype(np.float32)
+    joint = rbm_ops.init_rbm_state(jax.random.key(5), Dz + K, Hj)
+    idbn_states = (rbm_ops.init_rbm_state(jax.random.key(6), 36, Dz),)
+    zcm = rng.rand(K, Dz).astype(np.float32)
+    static = dict(warmup=False, joint_cd=1, aux_cond_steps=3, Dz=Dz,
+                  steps=3, groups=((Dz, Dz + K),), batch_size=8)
+
+    ref_joint, ref_cd, ref_tot = imdbn_ops.joint_epoch(
+        joint, idbn_states, KEY, jnp.asarray(Z), jnp.asarray(Y),
+        jnp.asarray(IMG), 0.04, 0.5, 1e-4, jnp.asarray(zcm), **static)
+
+    mesh = make_mesh()
+    dp_joint, dp_cd, dp_tot = dp_joint_epoch(
+        mesh, joint, idbn_states, KEY, Z, Y, IMG, 0.04, 0.5, 1e-4, zcm,
+        **static)
+
+    np.testing.assert_allclose(np.asarray(ref_joint.w),
+                               np.asarray(dp_joint.w), atol=2e-6)
+    np.testing.assert_allclose(float(ref_cd), float(dp_cd), rtol=1e-4)
+    assert float(dp_tot.n) == N
+    np.testing.assert_allclose(float(ref_tot.top1), float(dp_tot.top1))

@@ -40,3 +40,32 @@ def test_train_multimodal_smoke(tmp_path):
         payload = pickle.load(f)
     assert "layers" in payload and "image_idbn" in payload
     assert payload["metadata"]["model_type"] == "iMDBN"
+
+
+def test_train_bimodal_smoke(tmp_path):
+    cfg = (ROOT / "configs" / "smoke_bimodal.yaml").read_text()
+    cfg = cfg.replace("/tmp/bimodal_smoke", str(tmp_path))
+    cfg_path = tmp_path / "smoke_bimodal.yaml"
+    cfg_path.write_text(cfg)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu');"
+         "import sys; sys.argv = ['train_bimodal.py', '--config', "
+         f"{str(cfg_path)!r}];"
+         "import runpy; runpy.run_path("
+         f"{str(ROOT / 'scripts' / 'train_bimodal.py')!r}, "
+         "run_name='__main__')"],
+        capture_output=True, text=True, env=env, cwd=str(ROOT),
+        timeout=900)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "Saved bimodal model" in proc.stdout
+
+    save = tmp_path / "bimodal_smoke.pkl"
+    assert save.exists()
+    with open(save, "rb") as f:
+        payload = pickle.load(f)
+    assert payload["metadata"]["model_type"] == "iMDBN_BiModal"
+    assert len(payload["joint_layers"]) == 1
