@@ -71,11 +71,29 @@ def pad_to_multiple(x: np.ndarray, multiple: int) -> Tuple[np.ndarray, int]:
     return np.concatenate([x, pad], axis=0), n
 
 
-def shard_batch(mesh: Mesh, *arrays: Array):
-    """Place arrays with the batch axis sharded over the mesh."""
-    out = tuple(jax.device_put(a, batch_sharding(mesh, np.ndim(a)))
-                for a in arrays)
-    return out[0] if len(out) == 1 else out
+def shard_batch(mesh: Mesh, *arrays, dtype=None, trim: bool = False):
+    """Place arrays with the batch axis sharded over the mesh.
+
+    ``device_put`` of a NamedSharding requires the batch axis to divide
+    evenly across the mesh. With ``trim=True`` the arrays are truncated to
+    the largest divisible length (the fused epoch paths drop the remainder
+    anyway); otherwise a clear error names the fix.
+    """
+    n_dev = int(np.prod(mesh.devices.shape))
+    out = []
+    for a in arrays:
+        a = jnp.asarray(a, dtype) if dtype is not None else jnp.asarray(a)
+        n = a.shape[0]
+        if n % n_dev:
+            if trim:
+                a = a[:(n // n_dev) * n_dev]
+            else:
+                raise ValueError(
+                    f"batch axis ({n}) must divide evenly across "
+                    f"{n_dev} devices; use pad_to_multiple() or "
+                    f"shard_batch(trim=True)")
+        out.append(jax.device_put(a, batch_sharding(mesh, a.ndim)))
+    return out[0] if len(out) == 1 else tuple(out)
 
 
 def replicate(mesh: Mesh, tree):
@@ -95,8 +113,7 @@ def dp_cd_update(mesh: Mesh, state: rbm_ops.RBMState, key: Array,
     ``rbm_ops.cd_update`` — GSPMD partitions it; the batch contractions
     become local matmuls + ICI all-reduce.
     """
-    data = jax.device_put(jnp.asarray(data, jnp.float32),
-                          batch_sharding(mesh))
+    data = shard_batch(mesh, data, dtype=jnp.float32)
     state = replicate(mesh, state)
     from multimodal_idbn_tpu.models.rbm import _cd_update
     return _cd_update(state, key, data, lr=lr, mom=mom,
@@ -115,8 +132,9 @@ def dp_idbn_epoch(mesh: Mesh, states, key: Array, data, lr, mom,
     and the per-layer CD statistics all-reduce over ICI.
     """
     axis = mesh.axis_names[0]
-    data = jax.device_put(jnp.asarray(data, jnp.float32),
-                          batch_sharding(mesh))
+    # The fused epoch drops the remainder beyond nb*batch_size, so
+    # trimming to a device-divisible length preserves semantics.
+    data = shard_batch(mesh, data, dtype=jnp.float32, trim=True)
     states = replicate(mesh, states)
     return _dp_idbn_epoch_jit(states, key, data, lr, mom, weight_decay,
                               sparsity_factor, cd=cd,
@@ -133,9 +151,9 @@ def dp_joint_epoch(mesh: Mesh, joint, idbn_states, key, Z, Y, IMG, lr, mom,
     from multimodal_idbn_tpu.ops import imdbn_ops
 
     axis = mesh.axis_names[0]
-    sh = batch_sharding(mesh)
-    Z, Y, IMG = (jax.device_put(jnp.asarray(a, jnp.float32), sh)
-                 for a in (Z, Y, IMG))
+    # joint_epoch drops samples beyond nb*batch_size itself, so trimming
+    # to a device-divisible length preserves semantics.
+    Z, Y, IMG = shard_batch(mesh, Z, Y, IMG, dtype=jnp.float32, trim=True)
     joint = replicate(mesh, joint)
     idbn_states = replicate(mesh, idbn_states)
     if z_class_mean is not None:
@@ -156,6 +174,8 @@ def _dp_idbn_epoch_jit(states, key, data, lr, mom, weight_decay,
                        shuffle, mesh, axis):
     n = data.shape[0]
     nb = n // batch_size
+    if nb == 0:  # dataset smaller than one batch
+        return states, jnp.zeros((0, len(states)), jnp.float32)
     kperm, kscan = jax.random.split(key)
     order = jax.random.permutation(kperm, n) if shuffle else jnp.arange(n)
     batches = data[order[:nb * batch_size]].reshape(nb, batch_size,
