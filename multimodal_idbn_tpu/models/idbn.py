@@ -144,27 +144,35 @@ class iDBN:
     # -- training --------------------------------------------------------------
 
     def _schedule(self, epoch: int):
+        from multimodal_idbn_tpu.ops.schedules import (
+            effective_lr, effective_momentum)
         r0 = self.layers[0]
-        lr = r0.lr / (1 + 0.01 * epoch) if r0.dynamic_lr else r0.lr
-        mom = r0.momentum if epoch <= 5 else r0.final_momentum
-        return lr, mom
+        return (effective_lr(r0.lr, epoch, r0.dynamic_lr),
+                effective_momentum(r0.momentum, r0.final_momentum, epoch))
 
     def _train_epoch_fused(self, epoch: int, epochs: int, data: jax.Array,
                            key) -> float:
-        """One epoch as a single on-device scan (+ remainder batch)."""
+        """One epoch as a single on-device scan (+ remainder batch).
+
+        The permutation happens here (not inside the fused epoch) so that
+        the remainder batch is exactly the unselected tail of the shuffle
+        — every sample trains exactly once per epoch, like the reference.
+        """
         lr, mom = self._schedule(epoch)
         wd = self.layers[0].weight_decay
         bs = getattr(self.dataloader, "batch_size", 128)
-        states, losses = dbn_train.idbn_epoch(
-            self._states(), key, data, lr, mom, wd, self.sparsity_factor,
-            cd=self.cd_k, sparsity_flags=self._sparsity_flags(),
-            batch_size=bs, shuffle=True)
-        loss_vals = [float(losses.mean())] if losses.size else []
         n = data.shape[0]
+        perm = jax.random.permutation(jax.random.fold_in(key, 0), n)
+        data_p = data[perm]
+        states, losses = dbn_train.idbn_epoch(
+            self._states(), key, data_p, lr, mom, wd, self.sparsity_factor,
+            cd=self.cd_k, sparsity_flags=self._sparsity_flags(),
+            batch_size=bs, shuffle=False)
+        loss_vals = [float(losses.mean())] if losses.size else []
         rem = n - (n // bs) * bs
         if rem:
             states, rl = dbn_train.idbn_batch_step(
-                states, jax.random.fold_in(key, 987), data[n - rem:],
+                states, jax.random.fold_in(key, 987), data_p[n - rem:],
                 lr, mom, wd, self.sparsity_factor, cd=self.cd_k,
                 sparsity_flags=self._sparsity_flags())
             loss_vals.append(float(rl.mean()))

@@ -174,26 +174,55 @@ class iMDBN:
 
     # -- data-dependent init (imdbn.py:217-292) -----------------------------------
 
-    def _materialized_train(self):
-        """(images_flat [N,D], onehot [N,K], z_img [N,Dz]) as device arrays."""
-        imgs, y = self.dataloader.materialize()
-        X = jnp.asarray(np.asarray(imgs).reshape(len(imgs), -1), jnp.float32)
-        Y = jnp.asarray(np.asarray(y, np.float32))
+    def _materialized_train(self, limit: Optional[int] = None):
+        """(images_flat [N,D], onehot [N,K], z_img [N,Dz]) as device arrays.
+
+        Works for any loader: ``materialize()`` when available, else
+        batch iteration (the reference contract supports plain loaders,
+        imdbn.py:244-251). ``limit`` caps the rows *before* encoding.
+        """
+        if hasattr(self.dataloader, "materialize"):
+            imgs, y = self.dataloader.materialize()
+            imgs = np.asarray(imgs)
+            y = np.asarray(y, np.float32)
+            if limit is not None:
+                imgs, y = imgs[:limit], y[:limit]
+        else:
+            im_list, y_list, n = [], [], 0
+            for bi, bl in self.dataloader:
+                im_list.append(np.asarray(bi))
+                y_list.append(np.asarray(bl, np.float32))
+                n += len(im_list[-1])
+                if limit is not None and n >= limit:
+                    break
+            if not im_list:
+                raise RuntimeError("empty dataloader")
+            imgs = np.concatenate(im_list, axis=0)
+            y = np.concatenate(y_list, axis=0)
+            if limit is not None:
+                imgs, y = imgs[:limit], y[:limit]
+        X = jnp.asarray(imgs.reshape(len(imgs), -1), jnp.float32)
+        Y = jnp.asarray(y)
         Z = self.image_idbn.represent(X)
         return X, Y, Z
 
-    def init_joint_bias_from_data(self, n_batches: int = 10) -> None:
+    def init_joint_bias_from_data(self, n_batches: int = 10,
+                                  _cached=None) -> None:
         """Set joint visible biases + per-class latent means from data
         statistics (reference imdbn.py:217-292, SURVEY.md §2.1(9)).
 
         Statistics are taken over the first ``n_batches`` worth of samples
         (the reference scans its shuffled loader's first 10 batches; same
-        sample count, deterministic order here).
+        sample count, deterministic order here). ``_cached`` lets
+        ``train_joint`` reuse an already-materialized (X, Y, Z) triple.
         """
         bs = getattr(self.dataloader, "batch_size", 128)
         limit = int(n_batches) * int(bs)
-        X, Y, Z = self._materialized_train()
-        Z, Y = Z[:limit], Y[:limit]
+        if _cached is not None:
+            _, Y, Z = _cached
+            Z, Y = Z[:limit], Y[:limit]
+        else:
+            _, Y, Z = self._materialized_train(limit=limit)
         if Z.shape[0] == 0:
             return
         z_bias, y_bias, z_class_mean = imdbn_ops.joint_bias_stats(
@@ -326,7 +355,6 @@ class iMDBN:
         """
         del w_rec, w_sup
         print("[iMDBN] joint training (with warmup y-clamp)")
-        self.init_joint_bias_from_data(n_batches=10)
 
         if fused is None:
             fused = hasattr(self.dataloader, "materialize")
@@ -337,10 +365,13 @@ class iMDBN:
 
         if fused:
             X, Y, Z = self._materialized_train()
+            self.init_joint_bias_from_data(n_batches=10, _cached=(X, Y, Z))
             bs = getattr(self.dataloader, "batch_size", 128)
             idbn_states = self.image_idbn._states()
             n = Z.shape[0]
             nb = n // bs
+        else:
+            self.init_joint_bias_from_data(n_batches=10)
 
         from multimodal_idbn_tpu.utils.profiling import StepTimer
         timer = StepTimer()
@@ -348,44 +379,59 @@ class iMDBN:
         for epoch in range(int(epochs)):
             warmup = epoch < WARMUP_Y_EPOCHS
             jr = self.joint_rbm
-            lr = jr.lr / (1 + 0.01 * epoch) if jr.dynamic_lr else jr.lr
-            mom = jr.momentum if epoch <= 5 else jr.final_momentum
+            from multimodal_idbn_tpu.ops.schedules import (
+                effective_lr, effective_momentum)
+            lr = effective_lr(jr.lr, epoch, jr.dynamic_lr)
+            mom = effective_momentum(jr.momentum, jr.final_momentum, epoch)
 
-            timer_ctx = timer.step()
-            timer_ctx.__enter__()
-            if fused:
-                key = jax.random.fold_in(epoch_key, epoch)
-                joint, mean_cd, totals = imdbn_ops.joint_epoch(
-                    jr.state, idbn_states, key, Z, Y, X, lr, mom,
-                    jr.weight_decay, self.z_class_mean, warmup=warmup,
-                    joint_cd=self.joint_cd, aux_cond_steps=aux_cond_steps,
-                    Dz=self.Dz_img, steps=self.cross_steps,
-                    groups=self._joint_groups(),
-                    use_free_energy=not self.reference_best_of_k_bug,
-                    zclamp_every=50, batch_size=bs,
-                    metrics_every=metrics_every)
-                rem = n - nb * bs
-                if rem:
-                    joint, cd_rem, m_rem = imdbn_ops.joint_train_batch_step(
-                        joint, idbn_states, jax.random.fold_in(key, 991),
-                        Z[n - rem:], Y[n - rem:], X[n - rem:], nb, lr, mom,
+            with timer.step():
+                if fused:
+                    key = jax.random.fold_in(epoch_key, epoch)
+                    # Permute once per epoch so every sample trains exactly
+                    # once (the fused epoch's internal shuffle would leave
+                    # the remainder tail over/under-sampled).
+                    perm = jax.random.permutation(
+                        jax.random.fold_in(key, 0), n)
+                    Zp, Yp, Xp = Z[perm], Y[perm], X[perm]
+                    joint, mean_cd, totals = imdbn_ops.joint_epoch(
+                        jr.state, idbn_states, key, Zp, Yp, Xp, lr, mom,
                         jr.weight_decay, self.z_class_mean, warmup=warmup,
                         joint_cd=self.joint_cd,
-                        aux_cond_steps=aux_cond_steps, Dz=self.Dz_img,
-                        steps=self.cross_steps, groups=self._joint_groups(),
+                        aux_cond_steps=aux_cond_steps,
+                        Dz=self.Dz_img, steps=self.cross_steps,
+                        groups=self._joint_groups(),
                         use_free_energy=not self.reference_best_of_k_bug,
-                        zclamp_every=50,
-                        compute_metrics=(metrics_every == 1))
-                    totals = imdbn_ops.CrossMetrics(
-                        *(a + b for a, b in zip(totals, m_rem)))
-                jr.state = joint
-                cd_losses = [] if warmup else [float(mean_cd)]
-                tot = {k: float(v) for k, v in totals._asdict().items()}
-                npix = X.shape[1]
-            else:
-                cd_losses, tot, npix = self._train_joint_epoch_batched(
-                    epoch, epochs, warmup, aux_cond_steps)
-            timer_ctx.__exit__(None, None, None)
+                        zclamp_every=50, batch_size=bs,
+                        metrics_every=metrics_every, shuffle=False)
+                    rem = n - nb * bs
+                    cd_losses = [] if warmup else [float(mean_cd)] * nb
+                    if rem:
+                        joint, cd_rem, m_rem = (
+                            imdbn_ops.joint_train_batch_step(
+                                joint, idbn_states,
+                                jax.random.fold_in(key, 991),
+                                Zp[nb * bs:], Yp[nb * bs:], Xp[nb * bs:],
+                                nb, lr, mom, jr.weight_decay,
+                                self.z_class_mean, warmup=warmup,
+                                joint_cd=self.joint_cd,
+                                aux_cond_steps=aux_cond_steps,
+                                Dz=self.Dz_img, steps=self.cross_steps,
+                                groups=self._joint_groups(),
+                                use_free_energy=(
+                                    not self.reference_best_of_k_bug),
+                                zclamp_every=50,
+                                compute_metrics=(metrics_every == 1)))
+                        totals = imdbn_ops.CrossMetrics(
+                            *(a + b for a, b in zip(totals, m_rem)))
+                        if not warmup:
+                            cd_losses.append(float(cd_rem))
+                    jr.state = joint
+                    tot = {k: float(v) for k, v in totals._asdict().items()}
+                    npix = X.shape[1]
+                else:
+                    cd_losses, tot, npix = self._train_joint_epoch_batched(
+                        epoch, epochs, warmup, aux_cond_steps,
+                        metrics_every)
             timer.log_to(self.wandb_run, prefix="perf/joint_epoch",
                          epoch=epoch)
 
@@ -396,7 +442,7 @@ class iMDBN:
         print("[iMDBN] joint training finished.")
 
     def _train_joint_epoch_batched(self, epoch, epochs, warmup,
-                                   aux_cond_steps):
+                                   aux_cond_steps, metrics_every: int = 1):
         """Reference-style per-batch loop (imdbn.py:553-639) for loaders
         that cannot materialize."""
         Dz, K = self.Dz_img, self.num_labels
@@ -440,14 +486,15 @@ class iMDBN:
                         sample_v=False, reclamp_negative=False,
                         aux_lr_mult=0.3, use_noisy_init=True)
 
-            img_from_txt, p_y = self._cross_reconstruct(
-                z_img, y, steps=self.cross_steps)
-            m = imdbn_ops.cross_metrics_batch(img_from_txt, p_y, img, y)
-            tot["n"] += float(m.n)
-            tot["top1"] += float(m.top1)
-            tot["top3"] += float(m.top3)
-            tot["ce_sum"] += float(m.ce_sum)
-            tot["mse_sum"] += float(m.mse_sum)
+            if metrics_every <= 1 or (b_idx % metrics_every) == 0:
+                img_from_txt, p_y = self._cross_reconstruct(
+                    z_img, y, steps=self.cross_steps)
+                m = imdbn_ops.cross_metrics_batch(img_from_txt, p_y, img, y)
+                tot["n"] += float(m.n)
+                tot["top1"] += float(m.top1)
+                tot["top3"] += float(m.top3)
+                tot["ce_sum"] += float(m.ce_sum)
+                tot["mse_sum"] += float(m.mse_sum)
             npix = img.shape[1]
         return cd_losses, tot, npix
 

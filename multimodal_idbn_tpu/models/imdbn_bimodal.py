@@ -582,41 +582,51 @@ class iMDBN_BiModal:
             mod1_states = self.mod1_dbn._states()
             mod2_states = self.mod2_dbn._states()
 
+        from multimodal_idbn_tpu.ops.schedules import (
+            effective_lr, effective_momentum)
+
         for epoch in range(int(epochs)):
             warmup = epoch < WARMUP_EPOCHS
             jr = self.joint_layers[0]
-            lr = jr.lr / (1 + 0.01 * epoch) if jr.dynamic_lr else jr.lr
-            mom = jr.momentum if epoch <= 5 else jr.final_momentum
+            lr = effective_lr(jr.lr, epoch, jr.dynamic_lr)
+            mom = effective_momentum(jr.momentum, jr.final_momentum, epoch)
 
             if fused:
                 key = jax.random.fold_in(epoch_key, epoch)
+                # Permute here so the remainder batch is exactly the
+                # unselected shuffle tail (each sample trains once/epoch).
+                perm = jax.random.permutation(jax.random.fold_in(key, 0), n)
+                Z1p, Z2p, V1p, V2p = (a[perm] for a in (Z1, Z2, V1, V2))
                 joint, mean_cd, totals = bimodal_ops.bimodal_joint_epoch(
                     self._joint_states(), mod1_states, mod2_states, key,
-                    Z1, Z2, V1, V2, lr, mom, jr.weight_decay, warmup=warmup,
-                    joint_cd=self.joint_cd, aux_cond_steps=aux_cond_steps,
-                    Dz1=self.Dz_mod1, steps=self.cross_steps,
-                    batch_size=bs, metrics_every=metrics_every)
+                    Z1p, Z2p, V1p, V2p, lr, mom, jr.weight_decay,
+                    warmup=warmup, joint_cd=self.joint_cd,
+                    aux_cond_steps=aux_cond_steps, Dz1=self.Dz_mod1,
+                    steps=self.cross_steps, batch_size=bs,
+                    metrics_every=metrics_every, shuffle=False)
                 rem = n - nb * bs
+                cd_losses = [] if warmup else [float(mean_cd)] * nb
                 if rem:
                     joint, cd_rem, m_rem = bimodal_ops.bimodal_batch_step(
                         joint, mod1_states, mod2_states,
-                        jax.random.fold_in(key, 991), Z1[n - rem:],
-                        Z2[n - rem:], V1[n - rem:], V2[n - rem:], lr, mom,
-                        jr.weight_decay, warmup=warmup,
+                        jax.random.fold_in(key, 991), Z1p[nb * bs:],
+                        Z2p[nb * bs:], V1p[nb * bs:], V2p[nb * bs:], lr,
+                        mom, jr.weight_decay, warmup=warmup,
                         joint_cd=self.joint_cd,
                         aux_cond_steps=aux_cond_steps, Dz1=self.Dz_mod1,
                         steps=self.cross_steps,
                         compute_metrics=(metrics_every == 1))
                     totals = bimodal_ops.BimodalMetrics(
                         *(a + b for a, b in zip(totals, m_rem)))
+                    if not warmup:
+                        cd_losses.append(float(cd_rem))
                 self._set_joint_states(joint)
-                cd_losses = [] if warmup else [float(mean_cd)]
                 tot = {"n": float(totals.n),
                        "mse_mod1": float(totals.mse_mod1),
                        "mse_mod2": float(totals.mse_mod2)}
             else:
                 cd_losses, tot = self._train_joint_epoch_batched(
-                    epoch, epochs, warmup, aux_cond_steps)
+                    epoch, epochs, warmup, aux_cond_steps, metrics_every)
 
             self._log_joint_epoch(epoch, cd_losses, tot, log_every,
                                   log_every_pca, log_every_probe,
@@ -625,26 +635,29 @@ class iMDBN_BiModal:
         print("[iMDBN_BiModal] joint training finished.")
 
     def _train_joint_epoch_batched(self, epoch, epochs, warmup,
-                                   aux_cond_steps):
+                                   aux_cond_steps, metrics_every: int = 1):
         """Reference-style per-batch loop for non-materializable loaders."""
+        from multimodal_idbn_tpu.ops.schedules import (
+            effective_lr, effective_momentum)
+
         cd_losses = []
         tot = {"n": 0.0, "mse_mod1": 0.0, "mse_mod2": 0.0}
+        jr = self.joint_rbm
         for b_idx, (mod1, mod2) in enumerate(self.dataloader):
             v1 = as_array(mod1)
             v2 = as_array(mod2)
             z1 = self.mod1_dbn.represent(v1)
             z2 = self.mod2_dbn.represent(v2)
+            compute_metrics = (metrics_every <= 1
+                               or (b_idx % metrics_every) == 0)
             joint, cd_loss, m = bimodal_ops.bimodal_batch_step(
                 self._joint_states(), self.mod1_dbn._states(),
-                self.mod2_dbn._states(), self.joint_rbm._next_key(), z1, z2,
-                v1, v2,
-                (self.joint_rbm.lr / (1 + 0.01 * epoch)
-                 if self.joint_rbm.dynamic_lr else self.joint_rbm.lr),
-                (self.joint_rbm.momentum if epoch <= 5
-                 else self.joint_rbm.final_momentum),
-                self.joint_rbm.weight_decay, warmup=warmup,
-                joint_cd=self.joint_cd, aux_cond_steps=aux_cond_steps,
-                Dz1=self.Dz_mod1, steps=self.cross_steps)
+                self.mod2_dbn._states(), jr._next_key(), z1, z2, v1, v2,
+                effective_lr(jr.lr, epoch, jr.dynamic_lr),
+                effective_momentum(jr.momentum, jr.final_momentum, epoch),
+                jr.weight_decay, warmup=warmup, joint_cd=self.joint_cd,
+                aux_cond_steps=aux_cond_steps, Dz1=self.Dz_mod1,
+                steps=self.cross_steps, compute_metrics=compute_metrics)
             self._set_joint_states(joint)
             if not warmup:
                 cd_losses.append(float(cd_loss))

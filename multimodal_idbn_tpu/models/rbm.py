@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from multimodal_idbn_tpu.ops import rbm_ops, sampling
+from multimodal_idbn_tpu.ops.schedules import effective_lr, effective_momentum
 
 Array = jax.Array
 
@@ -271,8 +272,8 @@ class RBM:
     def train_epoch(self, data, epoch: int, max_epochs: int, CD: int = 1):
         """One CD-k update on a batch; returns reconstruction MSE
         (reference rbm.py:181-227; exact semantics in SURVEY.md §2.1(3))."""
-        lr = self.lr / (1 + 0.01 * epoch) if self.dynamic_lr else self.lr
-        mom = self.momentum if epoch <= 5 else self.final_momentum
+        lr = effective_lr(self.lr, epoch, self.dynamic_lr)
+        mom = effective_momentum(self.momentum, self.final_momentum, epoch)
         self._state, loss = _cd_update(
             self._state, self._next_key(), as_array(data),
             lr=lr, mom=mom, weight_decay=self.weight_decay, cd=int(CD),
@@ -288,8 +289,8 @@ class RBM:
                             aux_lr_mult: float = 0.3,
                             use_noisy_init: bool = True):
         """Auxiliary clamped-CD update (reference rbm.py:402-483)."""
-        lr = self.lr / (1 + 0.01 * epoch) if self.dynamic_lr else self.lr
-        mom = self.momentum if epoch <= 5 else self.final_momentum
+        lr = effective_lr(self.lr, epoch, self.dynamic_lr)
+        mom = effective_momentum(self.momentum, self.final_momentum, epoch)
         mu = self._mu_pull
         mu_k = None if mu is None else as_array(mu["mu_k"])
         eta0 = 0.15 if mu is None else float(mu.get("eta0", 0.15))

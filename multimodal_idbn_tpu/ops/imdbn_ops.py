@@ -101,7 +101,6 @@ def cross_reconstruct(joint: rbm_ops.RBMState, idbn_states, key: Array,
     """
     B = z_img.shape[0]
     K = y_onehot.shape[1]
-    V = Dz + K
     k_i2t, k_t2i, k_ref = jax.random.split(key, 3)
 
     # --- IMG→TXT (imdbn.py:419-427)
@@ -197,7 +196,7 @@ def _joint_train_batch(joint: rbm_ops.RBMState, idbn_states, key: Array,
     km_y = jnp.concatenate(
         [jnp.zeros((B, Dz), zb.dtype), jnp.ones((B, K), zb.dtype)], axis=1)
     v_known_y = jnp.concatenate([jnp.zeros((B, Dz), zb.dtype), yb], axis=1)
-    keys = jax.random.split(key, 5)
+    keys = jax.random.split(key, 4)
 
     cd_loss = jnp.zeros((), jnp.float32)
     if warmup:

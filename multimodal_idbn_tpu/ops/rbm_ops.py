@@ -146,6 +146,8 @@ def cd_update(state: RBMState, key: Array, data: Array, *,
     sparsity added to the hidden momentum buffer before applying.
     ``lr``/``mom`` arrive as traced scalars so one compile serves all epochs.
     """
+    if int(cd) < 1:
+        raise ValueError(f"cd_update requires CD >= 1, got {cd}")
     k_pos, k_neg = jax.random.split(key)
     bsz = data.shape[0]
 

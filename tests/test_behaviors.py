@@ -189,3 +189,44 @@ def test_dataset_smaller_than_batch():
     m.train_joint(epochs=1, log_every=10**9, log_every_pca=10**9,
                   log_every_probe=10**9)
     assert m.last_metrics is not None
+
+
+def test_fused_epoch_trains_each_sample_exactly_once(monkeypatch):
+    """Regression (code-review finding): the fused path must present every
+    sample exactly once per epoch — shuffle happens outside the fused
+    epoch so the remainder batch is the unselected tail."""
+    from multimodal_idbn_tpu.ops import imdbn_ops
+
+    train, val, _ = create_dataloaders_uniform(batch_size=16, n_samples=56,
+                                               num_classes=3, side=10,
+                                               seed=0)
+    # train split of 56 -> 40 samples; 2 full batches of 16 + 8 remainder
+    m = iMDBN([100, 12], 8, params=PARAMS, dataloader=train,
+              val_loader=val, num_labels=3, seed=0)
+    m.image_idbn.train(epochs=1)
+
+    seen = {}
+    orig_epoch = imdbn_ops.joint_epoch
+    orig_step = imdbn_ops.joint_train_batch_step
+
+    def spy_epoch(joint, idbn_states, key, Z, Y, X, *a, **kw):
+        nb = Z.shape[0] // kw["batch_size"]
+        seen["main"] = np.asarray(Z)[:nb * kw["batch_size"]]
+        return orig_epoch(joint, idbn_states, key, Z, Y, X, *a, **kw)
+
+    def spy_step(joint, idbn_states, key, zb, *a, **kw):
+        seen["rem"] = np.asarray(zb)
+        return orig_step(joint, idbn_states, key, zb, *a, **kw)
+
+    monkeypatch.setattr(imdbn_ops, "joint_epoch", spy_epoch)
+    monkeypatch.setattr(imdbn_ops, "joint_train_batch_step", spy_step)
+    m.train_joint(epochs=1, log_every=10**9, log_every_pca=10**9,
+                  log_every_probe=10**9)
+
+    Z_all = np.asarray(m.image_idbn.represent(
+        train.materialize()[0].reshape(-1, 100)))
+    trained = np.concatenate([seen["main"], seen["rem"]], axis=0)
+    assert trained.shape == Z_all.shape
+    # multiset equality by sorted row signatures: exactly-once coverage
+    sig = lambda A: np.sort(A @ np.arange(1, A.shape[1] + 1))
+    np.testing.assert_allclose(sig(trained), sig(Z_all), rtol=1e-5)
