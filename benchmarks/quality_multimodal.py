@@ -32,6 +32,7 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="reduced epochs for smoke runs")
     ap.add_argument("--n-samples", type=int, default=2048)
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
     import numpy as np
@@ -54,7 +55,7 @@ def main():
         "JOINT_CD": 5,
         "CROSS_GIBBS_STEPS": 50,
         "JOINT_AUX_COND_STEPS": 30,
-        "SEED": 0,
+        "SEED": args.seed,
     }
 
     log(f"[quality] building dataset ({args.n_samples} x 100x100, "
@@ -64,7 +65,7 @@ def main():
         seed=0)
 
     model = iMDBN([10000, 1500, 500], 500, params=params, dataloader=train,
-                  val_loader=val, num_labels=32, seed=0)
+                  val_loader=val, num_labels=32, seed=args.seed)
 
     log(f"[quality] training image iDBN ({epochs_img} epochs, CD=10)...")
     t0 = time.time()
@@ -102,7 +103,8 @@ def main():
 
     result = {
         "config": "flagship [10000,1500,500]+joint500 K=32 "
-                  f"N={args.n_samples}" + (" (quick)" if args.quick else ""),
+                  f"N={args.n_samples} seed={args.seed}"
+                  + (" (quick)" if args.quick else ""),
         "epochs_img": epochs_img,
         "epochs_joint": epochs_joint,
         "idbn_final_loss": model.image_idbn.loss_history[-1],

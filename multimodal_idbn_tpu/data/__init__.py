@@ -96,7 +96,11 @@ def _build_loaders(data: dict, batch_size: int, multimodal_flag: bool,
                    second_modality: Optional[str], mnist100_path: Optional[str],
                    val_size: float, test_size: float, seed: int):
     mod2 = None
-    mode = "multimodal" if multimodal_flag else "multimodal"
+    # multimodal_flag is accepted for reference API parity; unimodal
+    # consumers iterate `for img, _ in loader` (reference idbn.py:199), so
+    # both cases share the (images, onehot) batch contract.
+    del multimodal_flag
+    mode = "multimodal"
     if second_modality:
         if second_modality != "mnist100":
             raise ValueError(f"unknown second_modality {second_modality!r}")

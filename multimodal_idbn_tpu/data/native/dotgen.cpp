@@ -95,34 +95,43 @@ void generate_one(Rng &rng, int n_dots, int side, int r_min, int r_max,
   cys.reserve(n_dots);
   rs.reserve(n_dots);
 
+  auto try_place = [&](int r) -> bool {
+    const int cx = rng.randint(r, side - r - 1);
+    const int cy = rng.randint(r, side - r - 1);
+    for (size_t j = 0; j < cxs.size(); ++j) {
+      const long dx = cx - cxs[j];
+      const long dy = cy - cys[j];
+      const long min_d = r + rs[j] + 1;
+      if (dx * dx + dy * dy < min_d * min_d) return false;
+    }
+    cxs.push_back(cx);
+    cys.push_back(cy);
+    rs.push_back(r);
+    const long r2 = static_cast<long>(r) * r;
+    for (int y = cy - r; y <= cy + r; ++y) {
+      const long dy = y - cy;
+      for (int x = cx - r; x <= cx + r; ++x) {
+        const long dx = x - cx;
+        if (dx * dx + dy * dy <= r2) img[y * side + x] = 1.0f;
+      }
+    }
+    return true;
+  };
+
   for (int d = 0; d < n_dots; ++d) {
+    bool placed = false;
     for (int t = 0; t < max_tries; ++t) {
-      const int r = rng.randint(r_min, r_max);
-      const int cx = rng.randint(r, side - r - 1);
-      const int cy = rng.randint(r, side - r - 1);
-      bool ok = true;
-      for (size_t j = 0; j < cxs.size(); ++j) {
-        const long dx = cx - cxs[j];
-        const long dy = cy - cys[j];
-        const long min_d = r + rs[j] + 1;
-        if (dx * dx + dy * dy < min_d * min_d) {
-          ok = false;
-          break;
-        }
+      if (try_place(rng.randint(r_min, r_max))) {
+        placed = true;
+        break;
       }
-      if (!ok) continue;
-      cxs.push_back(cx);
-      cys.push_back(cy);
-      rs.push_back(r);
-      const long r2 = static_cast<long>(r) * r;
-      for (int y = cy - r; y <= cy + r; ++y) {
-        const long dy = y - cy;
-        for (int x = cx - r; x <= cx + r; ++x) {
-          const long dx = x - cx;
-          if (dx * dx + dy * dy <= r2) img[y * side + x] = 1.0f;
-        }
+    }
+    if (!placed) {
+      // fallback at the smallest radius so the labeled numerosity stays
+      // truthful at dense configurations
+      for (int t = 0; t < max_tries; ++t) {
+        if (try_place(r_min)) break;
       }
-      break;
     }
   }
 

@@ -56,18 +56,29 @@ def generate_dot_image(rng: np.random.RandomState, n_dots: int,
     # keep radii placeable on small canvases (need r < side - r)
     r_max = max(1, min(r_max, side // 2 - 2))
     r_min = max(1, min(r_min, r_max))
+    def try_place(r: int) -> bool:
+        cx = rng.randint(r, side - r)
+        cy = rng.randint(r, side - r)
+        ok = all((cx - px) ** 2 + (cy - py) ** 2 >= (r + pr + 1) ** 2
+                 for (px, py), pr in zip(centers, radii))
+        if ok:
+            centers.append((cx, cy))
+            radii.append(r)
+            img[(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = 1.0
+        return ok
+
     for _ in range(n_dots):
+        placed = False
         for _try in range(max_tries):
-            r = rng.randint(r_min, r_max + 1)
-            cx = rng.randint(r, side - r)
-            cy = rng.randint(r, side - r)
-            ok = all((cx - px) ** 2 + (cy - py) ** 2 >= (r + pr + 1) ** 2
-                     for (px, py), pr in zip(centers, radii))
-            if ok:
-                centers.append((cx, cy))
-                radii.append(r)
-                img[(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = 1.0
+            if try_place(rng.randint(r_min, r_max + 1)):
+                placed = True
                 break
+        if not placed:
+            # fallback at the smallest radius so the labeled numerosity
+            # stays truthful even at dense configurations
+            for _try in range(max_tries):
+                if try_place(r_min):
+                    break
     cum_area = float(img.sum())
     ch = _convex_hull_area(np.array(centers, np.float64)) if len(centers) >= 3 \
         else cum_area
@@ -140,10 +151,22 @@ def generate_numerosity_dataset(n_samples: int = 512, num_classes: int = 32,
             density[i] = f["density"]
             n_dots[i] = f["N"]
 
+    # Keep labels truthful: if any placement still failed (rare after the
+    # r_min fallback), relabel from the actual dot count when numerosities
+    # are the default consecutive 1..K range.
+    labels_arr = numerosities[cls].astype(np.float32)
+    default_range = np.array_equal(numerosities,
+                                   np.arange(1, num_classes + 1))
+    mismatch = np.asarray(n_dots) != labels_arr.astype(np.int32)
+    if default_range and mismatch.any():
+        actual = np.clip(np.asarray(n_dots), 1, num_classes)
+        cls = np.where(mismatch, actual - 1, cls)
+        labels_arr = numerosities[cls].astype(np.float32)
+
     onehot = np.eye(num_classes, dtype=np.float32)[cls]
     return {
         "images": images,
-        "labels": numerosities[cls].astype(np.float32),
+        "labels": labels_arr,
         "class_idx": cls.astype(np.int64),
         "onehot": onehot,
         "cumArea": cum_area,

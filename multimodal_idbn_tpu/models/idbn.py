@@ -168,16 +168,21 @@ class iDBN:
             self._states(), key, data_p, lr, mom, wd, self.sparsity_factor,
             cd=self.cd_k, sparsity_flags=self._sparsity_flags(),
             batch_size=bs, shuffle=False)
-        loss_vals = [float(losses.mean())] if losses.size else []
+        # Reference averages over all (batch, layer) loss entries equally
+        # (idbn.py:204-208): accumulate sums so the remainder batch gets
+        # per-entry (not per-call) weight.
+        loss_sum = float(losses.sum())
+        loss_count = int(losses.size)
         rem = n - (n // bs) * bs
         if rem:
             states, rl = dbn_train.idbn_batch_step(
                 states, jax.random.fold_in(key, 987), data_p[n - rem:],
                 lr, mom, wd, self.sparsity_factor, cd=self.cd_k,
                 sparsity_flags=self._sparsity_flags())
-            loss_vals.append(float(rl.mean()))
+            loss_sum += float(rl.sum())
+            loss_count += int(rl.size)
         self._set_states(states)
-        return float(np.mean(loss_vals)) if loss_vals else 0.0
+        return loss_sum / max(1, loss_count)
 
     def train(self, epochs: int, log_every_pca: int = 25,
               log_every_probe: int = 10, fused: Optional[bool] = None):

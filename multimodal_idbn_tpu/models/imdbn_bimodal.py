@@ -464,7 +464,8 @@ class iMDBN_BiModal:
     # works) -------------------------------------------------------------------
 
     def _finetune_last_layer(self, dbn: iDBN, loader, epochs: int,
-                             lr_scale: float, cd_k: Optional[int]) -> None:
+                             lr_scale: float, cd_k: Optional[int],
+                             batch_index: int = 0) -> None:
         if epochs <= 0 or loader is None:
             return
         last = dbn.layers[-1]
@@ -473,25 +474,33 @@ class iMDBN_BiModal:
         use_cd = int(cd_k) if cd_k is not None else int(dbn.cd_k)
         for ep in range(int(epochs)):
             for batch in loader:
-                v = as_array(batch[0])
+                v = as_array(batch[batch_index])
                 for rbm in dbn.layers[:-1]:
                     v = rbm.forward(v)
                 last.train_epoch(v, ep, epochs, CD=use_cd)
         last.lr = old_lr
 
+    def _finetune(self, dbn: iDBN, modality_idx: int, epochs: int,
+                  lr_scale: float, cd_k: Optional[int]) -> None:
+        loader = getattr(dbn, "dataloader", None)
+        if loader is not None:
+            batch_index = 0  # dedicated (images, labels) loader
+        else:
+            # bimodal loader yields (mod1, mod2): pick this modality
+            loader = self.dataloader
+            batch_index = modality_idx
+        self._finetune_last_layer(dbn, loader, epochs, lr_scale, cd_k,
+                                  batch_index=batch_index)
+
     def finetune_mod1_last_layer(self, epochs: int = 0,
                                  lr_scale: float = 0.3,
                                  cd_k: Optional[int] = None) -> None:
-        self._finetune_last_layer(self.mod1_dbn,
-                                  getattr(self.mod1_dbn, "dataloader", None)
-                                  or self.dataloader, epochs, lr_scale, cd_k)
+        self._finetune(self.mod1_dbn, 0, epochs, lr_scale, cd_k)
 
     def finetune_mod2_last_layer(self, epochs: int = 0,
                                  lr_scale: float = 0.3,
                                  cd_k: Optional[int] = None) -> None:
-        self._finetune_last_layer(self.mod2_dbn,
-                                  getattr(self.mod2_dbn, "dataloader", None)
-                                  or self.dataloader, epochs, lr_scale, cd_k)
+        self._finetune(self.mod2_dbn, 1, epochs, lr_scale, cd_k)
 
     # -- bias init (reference :616-645) ---------------------------------------
 

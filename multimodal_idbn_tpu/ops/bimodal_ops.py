@@ -144,18 +144,21 @@ def bimodal_joint_epoch(joint: States, mod1_states, mod2_states, key,
                         weight_decay, *, warmup: bool, joint_cd: int,
                         aux_cond_steps: int, Dz1: int, steps: int,
                         batch_size: int, metrics_every: int = 1,
-                        shuffle: bool = True):
+                        shuffle: bool = False):
     """One fused bimodal joint epoch over precomputed latents."""
     n = Z1.shape[0]
     nb = n // batch_size
     if nb == 0:  # dataset smaller than one batch: caller's remainder
         return joint, jnp.zeros((), jnp.float32), zeros_metrics()
     kperm, kscan = jax.random.split(key)
-    order = jax.random.permutation(kperm, n) if shuffle else jnp.arange(n)
-    sel = order[:nb * batch_size]
+    if shuffle:
+        sel = jax.random.permutation(kperm, n)[:nb * batch_size]
 
-    def reshape(X):
-        return X[sel].reshape(nb, batch_size, -1)
+        def reshape(X):
+            return X[sel].reshape(nb, batch_size, -1)
+    else:  # static slices: callers permute beforehand (exactly-once)
+        def reshape(X):
+            return X[:nb * batch_size].reshape(nb, batch_size, -1)
 
     xs = (reshape(Z1), reshape(Z2), reshape(V1), reshape(V2),
           jax.random.split(kscan, nb), jnp.arange(nb, dtype=jnp.int32))

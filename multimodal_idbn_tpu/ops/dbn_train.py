@@ -33,7 +33,7 @@ States = Tuple[rbm_ops.RBMState, ...]
 def idbn_epoch(states: States, key: Array, data: Array, lr, mom,
                weight_decay, sparsity_factor, *, cd: int,
                sparsity_flags: Tuple[bool, ...], batch_size: int,
-               shuffle: bool = True):
+               shuffle: bool = False):
     """One full iDBN epoch on-device.
 
     Args:
@@ -47,6 +47,11 @@ def idbn_epoch(states: States, key: Array, data: Array, lr, mom,
     loss layout the reference averages for its ``idbn/loss`` metric
     (idbn.py:204-208). Batches beyond ``nb*batch_size`` are left to the
     caller (reference DataLoaders don't drop the remainder).
+
+    ``shuffle`` defaults to False: callers should permute the dataset
+    BEFORE the epoch so the remainder is exactly the unselected tail
+    (with the internal shuffle, the fixed tail would be over/under-
+    sampled — each sample must train exactly once per epoch).
     """
     n = data.shape[0]
     nb = n // batch_size
@@ -55,10 +60,11 @@ def idbn_epoch(states: States, key: Array, data: Array, lr, mom,
     kperm, kscan = jax.random.split(key)
     if shuffle:
         order = jax.random.permutation(kperm, n)
-    else:
-        order = jnp.arange(n)
-    batches = data[order[:nb * batch_size]].reshape(nb, batch_size,
-                                                    data.shape[1])
+        batches = data[order[:nb * batch_size]].reshape(
+            nb, batch_size, data.shape[1])
+    else:  # static slice: no gather, no index buffer
+        batches = data[:nb * batch_size].reshape(nb, batch_size,
+                                                 data.shape[1])
     step_keys = jax.random.split(kscan, nb)
 
     def body(states, xs):

@@ -257,7 +257,7 @@ def joint_epoch(joint: rbm_ops.RBMState, idbn_states, key: Array, Z: Array,
                 Dz: int, steps: int, groups: SoftmaxGroups,
                 use_free_energy: bool = False, zclamp_every: int = 50,
                 batch_size: int = 128, metrics_every: int = 1,
-                shuffle: bool = True, mesh=None, shard_axis=None):
+                shuffle: bool = False, mesh=None, shard_axis=None):
     """One fused joint-training epoch over precomputed latents Z.
 
     Returns (joint', mean_cd_loss, CrossMetrics sums). Remainder samples
@@ -271,11 +271,15 @@ def joint_epoch(joint: rbm_ops.RBMState, idbn_states, key: Array, Z: Array,
     if nb == 0:  # dataset smaller than one batch: caller's remainder
         return joint, jnp.zeros((), jnp.float32), zeros_metrics()
     kperm, kscan = jax.random.split(key)
-    order = jax.random.permutation(kperm, n) if shuffle else jnp.arange(n)
-    sel = order[:nb * batch_size]
-    Zb = Z[sel].reshape(nb, batch_size, -1)
-    Yb = Y[sel].reshape(nb, batch_size, -1)
-    Ib = IMG[sel].reshape(nb, batch_size, -1)
+    if shuffle:
+        sel = jax.random.permutation(kperm, n)[:nb * batch_size]
+        Zb = Z[sel].reshape(nb, batch_size, -1)
+        Yb = Y[sel].reshape(nb, batch_size, -1)
+        Ib = IMG[sel].reshape(nb, batch_size, -1)
+    else:  # static slices: callers permute beforehand (exactly-once)
+        Zb = Z[:nb * batch_size].reshape(nb, batch_size, -1)
+        Yb = Y[:nb * batch_size].reshape(nb, batch_size, -1)
+        Ib = IMG[:nb * batch_size].reshape(nb, batch_size, -1)
     if mesh is not None and shard_axis is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         sh = NamedSharding(mesh, P(None, shard_axis, None))

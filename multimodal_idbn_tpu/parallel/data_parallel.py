@@ -123,7 +123,7 @@ def dp_cd_update(mesh: Mesh, state: rbm_ops.RBMState, key: Array,
 
 def dp_idbn_epoch(mesh: Mesh, states, key: Array, data, lr, mom,
                   weight_decay, sparsity_factor, *, cd: int,
-                  sparsity_flags, batch_size: int, shuffle: bool = True):
+                  sparsity_flags, batch_size: int, shuffle: bool = False):
     """Data-parallel fused iDBN epoch.
 
     The dataset lives sharded in HBM across the mesh; each scan step's
@@ -177,9 +177,13 @@ def _dp_idbn_epoch_jit(states, key, data, lr, mom, weight_decay,
     if nb == 0:  # dataset smaller than one batch
         return states, jnp.zeros((0, len(states)), jnp.float32)
     kperm, kscan = jax.random.split(key)
-    order = jax.random.permutation(kperm, n) if shuffle else jnp.arange(n)
-    batches = data[order[:nb * batch_size]].reshape(nb, batch_size,
-                                                    data.shape[1])
+    if shuffle:
+        order = jax.random.permutation(kperm, n)
+        batches = data[order[:nb * batch_size]].reshape(
+            nb, batch_size, data.shape[1])
+    else:
+        batches = data[:nb * batch_size].reshape(nb, batch_size,
+                                                 data.shape[1])
     # Keep the per-step batch axis sharded over the mesh.
     batches = jax.lax.with_sharding_constraint(
         batches, NamedSharding(mesh, P(None, axis, None)))

@@ -85,3 +85,14 @@ def test_hull_area_matches_python_helper():
     # a square — and rely on the statistical test above for the C++ side.
     square = np.array([[0, 0], [0, 10], [10, 0], [10, 10], [5, 5]], float)
     assert abs(_convex_hull_area(square) - 100.0) < 1e-9
+
+
+def test_labels_truthful_at_high_density():
+    """Labels must equal actual dot counts even at dense configs
+    (code-review finding: silent label noise on placement failure)."""
+    for backend in ("native", "python"):
+        d = generate_numerosity_dataset(n_samples=24, num_classes=32,
+                                        side=64, seed=5, backend=backend)
+        np.testing.assert_array_equal(d["N_dots"],
+                                      d["labels"].astype(np.int32),
+                                      err_msg=backend)
