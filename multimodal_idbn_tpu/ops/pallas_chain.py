@@ -61,7 +61,12 @@ _MAX_B = 512
 def chain_kernel_supported(B: int, V: int, H: int) -> bool:
     if not HAS_PALLAS or jax.default_backend() not in ("tpu", "axon"):
         return False
-    return V * H <= _MAX_VH_ELEMS and B <= _MAX_B
+    if B > _MAX_B:
+        return False
+    # Joint VMEM working set: W + W^T, six B×V buffers (v_known, km,
+    # v_init, mu, out + temp) and two B×H activations, f32.
+    working_set_bytes = 4 * (2 * V * H + 6 * B * V + 2 * B * H)
+    return working_set_bytes <= 12 * 1024 * 1024
 
 
 def _normal_from_bits(shape):
@@ -99,18 +104,19 @@ def _make_chain_kernel(n_steps: int, groups: SoftmaxGroups, noisy: bool,
         v_known = v_known_ref[:]
         km = km_ref[:]
         one_minus_km = 1.0 - km
-        gmask = gmask_ref[0, :]          # 1 on softmax-group columns
         neg_inf = jnp.float32(-1e30)
 
         def group_softmax(v_prob, v_logits):
-            if not groups:
-                return v_prob
-            # masked softmax over the group columns, full width
-            glog = jnp.where(gmask > 0, v_logits, neg_inf)
-            gmax = jnp.max(glog, axis=1, keepdims=True)
-            eg = jnp.exp(glog - gmax) * gmask
-            sm = eg / jnp.sum(eg, axis=1, keepdims=True)
-            return jnp.where(gmask > 0, sm, v_prob)
+            # Per-group masked softmax, full width (no slicing): each
+            # group normalizes independently like apply_softmax_groups.
+            for gi in range(len(groups)):
+                gm = gmask_ref[gi, :]
+                glog = jnp.where(gm > 0, v_logits, neg_inf)
+                gmax = jnp.max(glog, axis=1, keepdims=True)
+                eg = jnp.exp(glog - gmax) * gm
+                sm = eg / jnp.sum(eg, axis=1, keepdims=True)
+                v_prob = jnp.where(gm > 0, sm, v_prob)
+            return v_prob
 
         def body(t, v):
             inv_T = sched_ref[t, 0]      # 1/max(1e-6, T_t)
@@ -162,9 +168,10 @@ def _chain_call(seed, sched, w, hb, vb, v_known, km, v_init, mu, *,
     B, V = v_known.shape
     kernel = _make_chain_kernel(n_steps, groups, noisy, use_mu,
                                 final_unclamped, Dz)
-    gmask = jnp.zeros((1, V), jnp.float32)
-    for s, e in groups:
-        gmask = gmask.at[0, s:e].set(1.0)
+    n_groups = max(1, len(groups))
+    gmask = jnp.zeros((n_groups, V), jnp.float32)
+    for gi, (s, e) in enumerate(groups):
+        gmask = gmask.at[gi, s:e].set(1.0)
     dzmask = jnp.zeros((1, V), jnp.float32).at[0, :Dz].set(1.0)
     # μ-pull values broadcast to full width (zeros beyond Dz)
     mu_full = jnp.zeros((B, V), jnp.float32).at[:, :Dz].set(mu)
@@ -223,7 +230,9 @@ def noisy_meanfield_fast(state: rbm_ops.RBMState, key, v_known, km, *,
         k0, v_known.shape, v_known.dtype)
     B, V = v_known.shape
     Dz = groups[0][0] if groups else V
-    n = max(1, int(n_steps))
+    if int(n_steps) <= 0:  # jnp-path parity: clamped init, no update
+        return v_init
+    n = int(n_steps)
     T_arr = jnp.maximum(
         schedules.annealed_temperature(n, T0, T1, sharpen_last,
                                        T_cold_plus), 1e-6)
@@ -233,8 +242,12 @@ def noisy_meanfield_fast(state: rbm_ops.RBMState, key, v_known, km, *,
                        jnp.zeros_like(T_arr)], axis=1)
     use_mu = mu_k is not None
     mu = mu_k if use_mu else jnp.zeros((B, Dz), jnp.float32)
+    # Noise stream follows the threefry key (like the jnp path); the
+    # explicit ``seed`` only offsets it.
+    kd = jax.random.key_data(jax.random.fold_in(key, 13)).ravel()
+    seed_arr = (kd[0].astype(jnp.int32) + jnp.int32(seed)).reshape(1)
     return _chain_call(
-        jnp.asarray([seed], jnp.int32), sched, state.w,
+        seed_arr, sched, state.w,
         state.hb.reshape(1, -1), state.vb.reshape(1, -1), v_known, km,
         v_init, mu, n_steps=n, groups=groups, noisy=bool(sigma0 > 0),
         use_mu=use_mu, final_unclamped=False, Dz=Dz)

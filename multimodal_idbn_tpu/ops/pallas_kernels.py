@@ -16,9 +16,11 @@ equal to the threefry path (seeded per (kernel-call, tile), deterministic
 for a fixed seed and grid).
 
 Grid layout: (B/bm, H/bn) tiles with the full contraction dimension V
-resident in VMEM per tile (flagship V=10000 → v-tile 128×10000 f32 ≈ 5 MB,
-w-tile 10000×256 ≈ 10 MB; within the ~16 MB VMEM budget). For larger V,
-fall back to the jnp path.
+resident in VMEM per tile. With pipeline double-buffering the practical
+ceiling is V ≲ 4000 at the default blocks (``pallas_supported`` computes
+the budget); larger shapes — including the flagship V=10000 first layer —
+fall back to the jnp path, which XLA already runs at near-roofline for
+those large matmuls.
 """
 
 from __future__ import annotations
@@ -39,20 +41,20 @@ except Exception:  # pragma: no cover
 
 Array = jax.Array
 
-# VMEM budget guard: per-tile v and w blocks must fit on-chip.
-_MAX_K_ELEMS = 12_000
-
-
 def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def pallas_supported(B: int, V: int, H: int) -> bool:
+def pallas_supported(B: int, V: int, H: int, block_m: int = 128,
+                     block_n: int = 256) -> bool:
     if not HAS_PALLAS:
         return False
     if jax.default_backend() not in ("tpu", "axon"):
         return False
-    return V <= _MAX_K_ELEMS
+    # Per-tile VMEM: v-tile [bm, V] + w-tile [V, bn] + out tiles, f32,
+    # double-buffered by the pipeline. Stay under ~12 MB of the ~16 MB.
+    tile_bytes = 4 * (block_m * V + V * block_n + 2 * block_m * block_n)
+    return 2 * tile_bytes <= 12 * 1024 * 1024
 
 
 def _half_step_kernel(t_ref, v_ref, w_ref, b_ref, out_ref):
@@ -71,7 +73,10 @@ def _half_step_sample_kernel(seed_ref, t_ref, v_ref, w_ref, b_ref,
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
-    pltpu.prng_seed(seed_ref[0] + i * pl.num_programs(1) + j)
+    # Golden-ratio mix so nearby seeds do not alias across tiles between
+    # calls (seed s, tile t vs seed s+1, tile t-1).
+    linear_id = i * pl.num_programs(1) + j
+    pltpu.prng_seed(seed_ref[0] * jnp.int32(-1640531527) + linear_id)
 
     acc = jnp.dot(v_ref[:], w_ref[:], preferred_element_type=jnp.float32)
     logits = (acc + b_ref[0, :]) / jnp.maximum(1e-6, t_ref[0])

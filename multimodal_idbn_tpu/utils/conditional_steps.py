@@ -34,7 +34,13 @@ def _gibbs_conditional_step(rbm, v, v_known, known_mask, sample_h=False,
                             sample_v=False):
     """One conditional Gibbs step aligned with ``conditional_gibbs``'s body,
     re-clamping to the ORIGINAL known values (reference
-    conditional_steps.py:16-34). Returns (v_next, v_prob)."""
+    conditional_steps.py:16-34). Returns (v_next, v_prob).
+
+    Kept as a public mirror of the reference helper for API parity; the
+    batched panel chains (_img2txt_panel_chain / _txt2img_panel_chain)
+    fuse the same step inside jitted scans rather than calling this
+    per-step host function.
+    """
     state = rbm.state if hasattr(rbm, "state") else rbm
     groups = tuple(tuple(g) for g in getattr(rbm, "softmax_groups", []) or [])
     key = rbm._next_key() if hasattr(rbm, "_next_key") else jax.random.key(0)
@@ -241,10 +247,16 @@ def _txt2img_posthoc(dzs, mses, max_steps, eps_z, mse_tol, patience):
 
 def trace_txt2img_cross_batch(model, imgs, lbls, max_steps=70,
                               sample_h=False, sample_v=False, eps_z=1e-3,
-                              mse_tol=1e-5, patience=3, ema_beta=0.0):
+                              mse_tol=1e-5, patience=3, ema_beta=0.0,
+                              init: str = "reference"):
     """Batched TXT→IMG traces (one on-device chain). ``ema_beta`` accepted
     for API parity; only the default 0.0 (no smoothing) is supported in the
-    batched path."""
+    batched path.
+
+    ``init``: "reference" uses the trace's z_class_mean / mean-field init
+    (reference conditional_steps.py:168-177); "random" uses U(0,1) unknowns
+    (the z-mismatch check's init, reference :602).
+    """
     if ema_beta:
         raise NotImplementedError("ema_beta smoothing not supported")
     img_gt = as_array(imgs)
@@ -252,8 +264,11 @@ def trace_txt2img_cross_batch(model, imgs, lbls, max_steps=70,
     Dz = getattr(model, "Dz_img",
                  int(model.image_idbn.layers[-1].num_hidden))
     groups = tuple(tuple(g) for g in model.joint_rbm.softmax_groups)
-    # Init z from z_class_mean when available (reference :168-177).
-    if getattr(model, "z_class_mean", None) is not None:
+    if init == "random":
+        z_init = jax.random.uniform(model.joint_rbm._next_key(),
+                                    (y.shape[0], Dz), jnp.float32)
+    elif getattr(model, "z_class_mean", None) is not None:
+        # Init z from z_class_mean when available (reference :168-177).
         z_init = jnp.asarray(model.z_class_mean)[y.argmax(axis=1)]
     else:
         B = y.shape[0]
@@ -584,9 +599,12 @@ def run_and_log_z_mismatch_check(model, epoch: int, max_steps: int = 20,
     lbls = as_array(lbls)
 
     z_img = np.asarray(model.image_idbn.represent(imgs))
+    # Random-init chain like the reference z-check (conditional_steps.py:602),
+    # NOT the class-mean-initialized trace chain.
     _, z_y = trace_txt2img_cross_batch(model, imgs, lbls,
                                        max_steps=max_steps,
-                                       sample_h=sample_h, sample_v=sample_v)
+                                       sample_h=sample_h, sample_v=sample_v,
+                                       init="random")
 
     def _stats(t):
         return {

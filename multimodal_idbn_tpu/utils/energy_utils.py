@@ -79,12 +79,37 @@ def _deterministic_img2txt_step_fn(state: rbm_ops.RBMState, v: jax.Array,
 
 def _deterministic_img2txt_step(joint_rbm, v, Dz: int, K: int,
                                 softmax_y: bool = True, sample_h: bool = False,
-                                sample_v: bool = False) -> jax.Array:
-    """Public mirror of reference energy_utils.py:61-88 (deterministic
-    path; the stochastic flags default off there too)."""
-    del sample_h, sample_v
-    return _deterministic_img2txt_step_fn(_state_of(joint_rbm), as_array(v),
-                                          Dz, K, softmax_y)
+                                sample_v: bool = False,
+                                key=None) -> jax.Array:
+    """Public mirror of reference energy_utils.py:61-88. The stochastic
+    branches (Bernoulli h, categorical y resampling) are implemented;
+    they default off like the reference's callers."""
+    import jax as _jax
+
+    from multimodal_idbn_tpu.ops.sampling import (
+        sample_bernoulli, sample_categorical_onehot)
+
+    state = _state_of(joint_rbm)
+    v = as_array(v)
+    if not sample_h and not sample_v:
+        return _deterministic_img2txt_step_fn(state, v, Dz, K, softmax_y)
+
+    if key is None:
+        key = (joint_rbm._next_key() if hasattr(joint_rbm, "_next_key")
+               else _jax.random.key(0))
+    kh, kv = _jax.random.split(key)
+    h_prob = _jax.nn.sigmoid(v @ state.w + state.hb)
+    h = sample_bernoulli(kh, h_prob) if sample_h else h_prob
+    v_prob = _jax.nn.sigmoid(h @ state.w.T + state.vb)
+    v_next = v_prob.at[:, :Dz].set(v[:, :Dz])
+    y = v_next[:, Dz:Dz + K]
+    if softmax_y:
+        y = _jax.nn.softmax(y, axis=1)
+    else:
+        y = jnp.clip(y, 1e-6, 1 - 1e-6)
+    if sample_v:  # categorical resampling of y (reference :83-85)
+        y = sample_categorical_onehot(kv, y)
+    return v_next.at[:, Dz:Dz + K].set(y)
 
 
 @partial(jax.jit, static_argnames=("Dz", "K", "steps"))

@@ -174,12 +174,13 @@ def log_latent_trajectory_with_recon_panel(model, sample_idx: int = 0,
     scatter_alpha = (float(pca_cfg.get("scatter_alpha", 0.35))
                      if scatter_alpha is None else scatter_alpha)
 
-    # PCA(2) refit each call (reference :87-88)
+    # PCA(2) refit each call (reference :87-88). Cloud AND trajectory use
+    # the same projection matrix so sign conventions can't mirror one
+    # relative to the other.
     Xc_mean = Z_val.mean(0, keepdims=True)
-    Z2 = pca_fit_transform(Z_val, 2)
-    # projection matrix for transforming new points
     _, _, Vt = np.linalg.svd(Z_val - Xc_mean, full_matrices=False)
     proj = Vt[:2].T
+    Z2 = (Z_val - Xc_mean) @ proj
 
     z_true_2d = Z2[sample_idx:sample_idx + 1]
 

@@ -94,3 +94,41 @@ def test_noisy_chain_properties():
 def test_supported_guard():
     assert not pc.chain_kernel_supported(2048, 500, 500)  # B too large
     assert not pc.chain_kernel_supported(128, 10000, 1500)  # W too large
+
+
+def test_deterministic_chain_parity_two_groups():
+    """Per-group softmax normalization (regression: joint normalization
+    across groups)."""
+    groups2 = ((16, 20), (20, 28))
+    state = rbm_ops.init_rbm_state(jax.random.key(9), V, H)
+    rng = np.random.RandomState(3)
+    v_known = jnp.asarray((rng.rand(B, V) > 0.5).astype(np.float32))
+    km = jnp.zeros((B, V), jnp.float32).at[:, :16].set(1.0)
+    key = jax.random.key(11)
+    fast = _interpret(pc.conditional_gibbs_fast, state, key, v_known, km,
+                      n_steps=6, groups=groups2)
+    ref = pc.conditional_gibbs_reference(state, key, v_known, km,
+                                         n_steps=6, groups=groups2)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # each group sums to 1 independently
+    f = np.asarray(fast)
+    np.testing.assert_allclose(f[:, 16:20].sum(1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(f[:, 20:28].sum(1), 1.0, atol=1e-5)
+
+
+def test_noisy_meanfield_fast_zero_steps_parity():
+    state, v_known, km = _setup(4)
+    key = jax.random.key(2)
+    fast = _interpret(pc.noisy_meanfield_fast, state, key, v_known, km,
+                      n_steps=0, groups=GROUPS)
+    ref = rbm_ops.noisy_meanfield_annealed(state, key, v_known, km,
+                                           n_steps=0, groups=GROUPS)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               atol=1e-6)
+
+
+def test_chain_supported_budget():
+    # B*V working set must be bounded jointly, not just V*H
+    assert not pc.chain_kernel_supported(512, 3000, 500)
+    assert not pc.chain_kernel_supported(2048, 532, 500)
