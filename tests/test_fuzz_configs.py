@@ -1,0 +1,47 @@
+"""Bounded configuration fuzz: random architectures / class counts /
+batch sizes through the full training paths must run and stay finite.
+Catches shape edge cases (odd widths, K=2, single-layer DBNs, batch
+bigger than splits) that the targeted tests don't enumerate."""
+
+import numpy as np
+import pytest
+
+from multimodal_idbn_tpu.data import create_dataloaders_uniform
+from multimodal_idbn_tpu.models import iMDBN
+
+CONFIGS = [
+    # (layer_sizes, joint_hidden, K, batch, n_samples, side, fused)
+    ([81, 17], 9, 2, 8, 40, 9, True),            # odd widths, K=2
+    ([100, 33, 11], 7, 3, 16, 50, 10, True),     # 3-layer, tiny joint
+    ([64, 16], 5, 7, 32, 45, 8, True),           # batch > train split
+    ([121, 24], 13, 4, 8, 40, 11, False),        # per-batch path
+]
+
+
+@pytest.mark.parametrize("cfg", CONFIGS,
+                         ids=[f"cfg{i}" for i in range(len(CONFIGS))])
+def test_random_config_end_to_end(cfg):
+    layers, joint_h, K, bs, n, side, fused = cfg
+    params = {
+        "LEARNING_RATE": 0.1, "WEIGHT_PENALTY": 1e-4,
+        "INIT_MOMENTUM": 0.5, "FINAL_MOMENTUM": 0.9,
+        "LEARNING_RATE_DYNAMIC": True, "CD": 1, "JOINT_CD": 1,
+        "JOINT_LEARNING_RATE": 0.04, "CROSS_GIBBS_STEPS": 2,
+        "JOINT_AUX_COND_STEPS": 2,
+    }
+    train, val, _ = create_dataloaders_uniform(
+        batch_size=bs, n_samples=n, num_classes=K, side=side, seed=1)
+    m = iMDBN(layers, joint_h, params=params, dataloader=train,
+              val_loader=val, num_labels=K, seed=1)
+    m.image_idbn.train(epochs=1, fused=fused)
+    assert np.isfinite(m.image_idbn.loss_history[-1])
+    m.train_joint(epochs=1, fused=fused, log_every=10**9,
+                  log_every_pca=10**9, log_every_probe=10**9)
+    assert m.last_metrics is not None
+    for v in m.last_metrics.values():
+        assert np.isfinite(v)
+    # inference after training
+    img, y = next(iter(val))
+    rec, p_y = m._cross_reconstruct(m.image_idbn.represent(img), y, steps=2)
+    assert np.isfinite(np.asarray(rec)).all()
+    np.testing.assert_allclose(np.asarray(p_y).sum(1), 1.0, atol=1e-4)
