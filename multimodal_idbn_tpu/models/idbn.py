@@ -204,6 +204,33 @@ class iDBN:
         from multimodal_idbn_tpu.utils.profiling import StepTimer
         timer = StepTimer()
 
+        if fused and self.wandb_run is None:
+            # Epoch-blocked path: without a run object no per-epoch
+            # logging fires, so run ALL epochs in one dispatch (nested
+            # scan) — identical RNG/key derivation to the per-epoch path,
+            # but per-call (tunnel) latency is paid once instead of E
+            # times.
+            E = int(epochs)
+            lr_arr = jnp.asarray([self._schedule(e)[0] for e in range(E)],
+                                 jnp.float32)
+            mom_arr = jnp.asarray([self._schedule(e)[1] for e in range(E)],
+                                  jnp.float32)
+            bs = getattr(self.dataloader, "batch_size", 128)
+            with timer.step():
+                states, sums, counts = dbn_train.idbn_epoch_block(
+                    self._states(), epoch_key, data,
+                    jnp.arange(E, dtype=jnp.int32), lr_arr, mom_arr,
+                    self.layers[0].weight_decay, self.sparsity_factor,
+                    cd=self.cd_k, sparsity_flags=self._sparsity_flags(),
+                    batch_size=bs, n_epochs=E)
+                self._set_states(states)
+            sums = np.asarray(sums)
+            counts = np.asarray(counts)
+            self.loss_history.extend(
+                (sums / np.maximum(1.0, counts)).tolist())
+            self.epoch_timer = timer
+            return
+
         for epoch in range(int(epochs)):
             with timer.step():
                 if fused:

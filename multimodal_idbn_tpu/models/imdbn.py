@@ -376,6 +376,18 @@ class iMDBN:
         from multimodal_idbn_tpu.utils.profiling import StepTimer
         timer = StepTimer()
 
+        if fused and self.wandb_run is None:
+            # Epoch-blocked path: no per-epoch logging fires without a run
+            # object, so run the warmup epochs and the main epochs as two
+            # dispatches (nested scans) — identical key derivation to the
+            # per-epoch path, tunnel latency paid twice instead of E times.
+            self._train_joint_blocked(int(epochs), epoch_key, X, Y, Z,
+                                      idbn_states, bs, n, aux_cond_steps,
+                                      metrics_every, timer)
+            self.epoch_timer = timer
+            print("[iMDBN] joint training finished.")
+            return
+
         for epoch in range(int(epochs)):
             warmup = epoch < WARMUP_Y_EPOCHS
             jr = self.joint_rbm
@@ -440,6 +452,55 @@ class iMDBN:
 
         self.epoch_timer = timer
         print("[iMDBN] joint training finished.")
+
+    def _train_joint_blocked(self, epochs, epoch_key, X, Y, Z, idbn_states,
+                             bs, n, aux_cond_steps, metrics_every,
+                             timer) -> None:
+        """Run joint training as (warmup, main) epoch blocks — one
+        dispatch each — with RNG identical to the per-epoch path."""
+        from multimodal_idbn_tpu.ops.schedules import (
+            effective_lr, effective_momentum)
+
+        jr = self.joint_rbm
+        blocks = []
+        if epochs > 0:
+            w_end = min(WARMUP_Y_EPOCHS, epochs)
+            if w_end > 0:
+                blocks.append((0, w_end, True))
+            if epochs > w_end:
+                blocks.append((w_end, epochs, False))
+
+        joint = jr.state
+        final_totals = None
+        for start, end, warmup in blocks:
+            E = end - start
+            idx = jnp.arange(start, end, dtype=jnp.int32)
+            lr_arr = jnp.asarray(
+                [effective_lr(jr.lr, e, jr.dynamic_lr)
+                 for e in range(start, end)], jnp.float32)
+            mom_arr = jnp.asarray(
+                [effective_momentum(jr.momentum, jr.final_momentum, e)
+                 for e in range(start, end)], jnp.float32)
+            with timer.step():
+                joint, cd_sums, cd_counts, totals = (
+                    imdbn_ops.joint_epoch_block(
+                        joint, idbn_states, epoch_key, Z, Y, X, idx,
+                        lr_arr, mom_arr, jr.weight_decay,
+                        self.z_class_mean, warmup=warmup,
+                        joint_cd=self.joint_cd,
+                        aux_cond_steps=aux_cond_steps, Dz=self.Dz_img,
+                        steps=self.cross_steps, groups=self._joint_groups(),
+                        use_free_energy=not self.reference_best_of_k_bug,
+                        zclamp_every=50, batch_size=bs,
+                        metrics_every=metrics_every, n_epochs=E))
+            final_totals = imdbn_ops.CrossMetrics(
+                *(np.asarray(t)[-1] for t in totals))
+        jr.state = joint
+
+        if final_totals is not None:
+            tot = {k: float(v) for k, v in final_totals._asdict().items()}
+            self._log_joint_epoch(epochs - 1, [], tot, X.shape[1],
+                                  10 ** 9, 10 ** 9, 10 ** 9)
 
     def _train_joint_epoch_batched(self, epoch, epochs, warmup,
                                    aux_cond_steps, metrics_every: int = 1):

@@ -87,6 +87,85 @@ def idbn_epoch(states: States, key: Array, data: Array, lr, mom,
     return states, losses
 
 
+@partial(jax.jit, static_argnames=("cd", "sparsity_flags", "batch_size",
+                                   "n_epochs"))
+def idbn_epoch_block(states: States, epoch_key: Array, data: Array,
+                     epoch_idx: Array, lr_arr: Array, mom_arr: Array,
+                     weight_decay, sparsity_factor, *, cd: int,
+                     sparsity_flags: Tuple[bool, ...], batch_size: int,
+                     n_epochs: int):
+    """Run ``n_epochs`` full epochs in ONE dispatch (nested scan).
+
+    Each epoch permutes the dataset on-device (exactly-once semantics,
+    remainder included) with the SAME key derivation as the per-epoch
+    path — ``fold_in(epoch_key, epoch_idx)`` — so blocked and unblocked
+    training produce identical results. The win is dispatch amortization:
+    through high-latency links (the axon tunnel costs ~0.2-0.3 s per
+    call) a 100-epoch run becomes a handful of dispatches.
+
+    Returns (states, loss_sum[E], loss_count[E]) so the caller can
+    average per-(batch, layer) entries like the reference.
+    """
+    n = data.shape[0]
+    nb = n // batch_size
+    rem = n - nb * batch_size
+    L = len(states)
+
+    def epoch_body(states, xs):
+        e_idx, lr, mom = xs
+        key = jax.random.fold_in(epoch_key, e_idx)
+        perm = jax.random.permutation(jax.random.fold_in(key, 0), n)
+        data_p = data[perm]
+        kscan = jax.random.split(key)[1]
+        step_keys = jax.random.split(kscan, max(1, nb))
+
+        def body(states, bxs):
+            batch, bkey = bxs
+            v = batch
+            new_states = []
+            losses = []
+            for i, st in enumerate(states):
+                st, loss = rbm_ops.cd_update(
+                    st, jax.random.fold_in(bkey, i), v, lr=lr, mom=mom,
+                    weight_decay=weight_decay, cd=cd,
+                    sparsity=sparsity_flags[i],
+                    sparsity_factor=sparsity_factor, groups=())
+                v = rbm_ops.hidden_probs(st, v)
+                new_states.append(st)
+                losses.append(loss)
+            return tuple(new_states), jnp.stack(losses)
+
+        loss_sum = jnp.zeros((), jnp.float32)
+        count = jnp.zeros((), jnp.float32)
+        if nb > 0:
+            batches = data_p[:nb * batch_size].reshape(
+                nb, batch_size, data.shape[1])
+            states, losses = jax.lax.scan(body, states,
+                                          (batches, step_keys))
+            loss_sum = losses.sum()
+            count = jnp.asarray(nb * L, jnp.float32)
+        if rem:
+            rkey = jax.random.fold_in(key, 987)
+            v = data_p[nb * batch_size:]
+            new_states = []
+            for i, st in enumerate(states):
+                st, loss = rbm_ops.cd_update(
+                    st, jax.random.fold_in(rkey, i), v, lr=lr, mom=mom,
+                    weight_decay=weight_decay, cd=cd,
+                    sparsity=sparsity_flags[i],
+                    sparsity_factor=sparsity_factor, groups=())
+                v = rbm_ops.hidden_probs(st, v)
+                new_states.append(st)
+                loss_sum = loss_sum + loss
+                count = count + 1.0
+            states = tuple(new_states)
+        return states, (loss_sum, count)
+
+    states, (sums, counts) = jax.lax.scan(
+        epoch_body, states, (epoch_idx, lr_arr, mom_arr))
+    return states, sums, counts
+
+
 @partial(jax.jit, static_argnames=("cd", "sparsity_flags"))
 def idbn_batch_step(states: States, key: Array, batch: Array, lr, mom,
                     weight_decay, sparsity_factor, *, cd: int,

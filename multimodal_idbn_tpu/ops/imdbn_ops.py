@@ -324,6 +324,101 @@ def joint_epoch(joint: rbm_ops.RBMState, idbn_states, key: Array, Z: Array,
 @partial(jax.jit,
          static_argnames=("warmup", "joint_cd", "aux_cond_steps", "Dz",
                           "steps", "groups", "use_free_energy",
+                          "zclamp_every", "batch_size", "metrics_every",
+                          "n_epochs"))
+def joint_epoch_block(joint: rbm_ops.RBMState, idbn_states,
+                      epoch_key: Array, Z: Array, Y: Array, IMG: Array,
+                      epoch_idx: Array, lr_arr: Array, mom_arr: Array,
+                      weight_decay, z_class_mean, *, warmup: bool,
+                      joint_cd: int, aux_cond_steps: int, Dz: int,
+                      steps: int, groups: SoftmaxGroups,
+                      use_free_energy: bool = False,
+                      zclamp_every: int = 50, batch_size: int = 128,
+                      metrics_every: int = 1, n_epochs: int = 1):
+    """Run ``n_epochs`` joint epochs in ONE dispatch (nested scan),
+    amortizing per-call tunnel latency. Identical key derivation to the
+    per-epoch path (``fold_in(epoch_key, epoch_idx)``) so blocked and
+    unblocked training produce identical results.
+
+    Returns (joint', cd_sum[E], cd_count[E], CrossMetrics-of-arrays[E]).
+    """
+    n = Z.shape[0]
+    nb = n // batch_size
+    rem = n - nb * batch_size
+
+    def epoch_body(joint, xs):
+        e_idx, lr, mom = xs
+        key = jax.random.fold_in(epoch_key, e_idx)
+        perm = jax.random.permutation(jax.random.fold_in(key, 0), n)
+        Zp, Yp, Ip = Z[perm], Y[perm], IMG[perm]
+        kscan = jax.random.split(key)[1]
+
+        totals = zeros_metrics()
+        cd_sum = jnp.zeros((), jnp.float32)
+        cd_count = jnp.zeros((), jnp.float32)
+
+        if nb > 0:
+            Zb = Zp[:nb * batch_size].reshape(nb, batch_size, -1)
+            Yb = Yp[:nb * batch_size].reshape(nb, batch_size, -1)
+            Ib = Ip[:nb * batch_size].reshape(nb, batch_size, -1)
+            step_keys = jax.random.split(kscan, nb)
+
+            def body(carry, bxs):
+                joint, totals, loss_sum = carry
+                zb, yb, imgb, skey, b_idx = bxs
+                joint, cd_loss, m = _joint_train_batch(
+                    joint, idbn_states, skey, zb, yb, imgb, b_idx, lr,
+                    mom, weight_decay, z_class_mean, warmup=warmup,
+                    joint_cd=joint_cd, aux_cond_steps=aux_cond_steps,
+                    Dz=Dz, steps=steps, groups=groups,
+                    use_free_energy=use_free_energy,
+                    zclamp_every=zclamp_every,
+                    compute_metrics=(metrics_every == 1))
+                if metrics_every > 1:
+                    def compute(_):
+                        img_from_txt, p_y = cross_reconstruct(
+                            joint, idbn_states,
+                            jax.random.fold_in(skey, 7), zb, yb,
+                            steps=steps, Dz=Dz, groups=groups,
+                            z_class_mean=z_class_mean,
+                            use_free_energy=use_free_energy)
+                        return cross_metrics_batch(img_from_txt, p_y,
+                                                   imgb, yb)
+
+                    m = jax.lax.cond(b_idx % metrics_every == 0, compute,
+                                     lambda _: zeros_metrics(), None)
+                totals = CrossMetrics(*(a + b for a, b in zip(totals, m)))
+                return (joint, totals, loss_sum + cd_loss), None
+
+            (joint, totals, cd_sum), _ = jax.lax.scan(
+                body, (joint, totals, cd_sum),
+                (Zb, Yb, Ib, step_keys, jnp.arange(nb, dtype=jnp.int32)))
+            cd_count = jnp.asarray(nb, jnp.float32)
+
+        if rem:
+            joint, cd_rem, m_rem = _joint_train_batch(
+                joint, idbn_states, jax.random.fold_in(key, 991),
+                Zp[nb * batch_size:], Yp[nb * batch_size:],
+                Ip[nb * batch_size:], jnp.asarray(nb), lr, mom,
+                weight_decay, z_class_mean, warmup=warmup,
+                joint_cd=joint_cd, aux_cond_steps=aux_cond_steps, Dz=Dz,
+                steps=steps, groups=groups,
+                use_free_energy=use_free_energy,
+                zclamp_every=zclamp_every,
+                compute_metrics=(metrics_every == 1))
+            totals = CrossMetrics(*(a + b for a, b in zip(totals, m_rem)))
+            cd_sum = cd_sum + cd_rem
+            cd_count = cd_count + 1.0
+        return joint, (cd_sum, cd_count, totals)
+
+    joint, (cd_sums, cd_counts, totals) = jax.lax.scan(
+        epoch_body, joint, (epoch_idx, lr_arr, mom_arr))
+    return joint, cd_sums, cd_counts, totals
+
+
+@partial(jax.jit,
+         static_argnames=("warmup", "joint_cd", "aux_cond_steps", "Dz",
+                          "steps", "groups", "use_free_energy",
                           "zclamp_every", "compute_metrics"))
 def joint_train_batch_step(joint: rbm_ops.RBMState, idbn_states, key: Array,
                            zb: Array, yb: Array, imgb: Array, b_idx, lr,

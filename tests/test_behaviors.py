@@ -203,7 +203,10 @@ def test_fused_epoch_trains_each_sample_exactly_once(monkeypatch):
     # train split of 56 -> 40 samples; 2 full batches of 16 + 8 remainder
     m = iMDBN([100, 12], 8, params=PARAMS, dataloader=train,
               val_loader=val, num_labels=3, seed=0)
-    m.image_idbn.train(epochs=1)
+    # a run object forces the per-epoch path (the blocked path is pinned
+    # equal to it by test_blocked_joint_equals_per_epoch)
+    m.wandb_run = FakeWandbRun()
+    m.image_idbn.train(epochs=1, log_every_pca=10**9, log_every_probe=10**9)
 
     seen = {}
     orig_epoch = imdbn_ops.joint_epoch
@@ -230,3 +233,52 @@ def test_fused_epoch_trains_each_sample_exactly_once(monkeypatch):
     # multiset equality by sorted row signatures: exactly-once coverage
     sig = lambda A: np.sort(A @ np.arange(1, A.shape[1] + 1))
     np.testing.assert_allclose(sig(trained), sig(Z_all), rtol=1e-5)
+
+
+def test_blocked_idbn_equals_per_epoch():
+    """Epoch-blocked training (no run object -> one dispatch) must be
+    bitwise-identical to the per-epoch fused path (same key derivation)."""
+    from multimodal_idbn_tpu.models import iDBN
+
+    train, val, _ = create_dataloaders_uniform(batch_size=16, n_samples=56,
+                                               num_classes=3, side=10,
+                                               seed=0)
+    a = iDBN([100, 16, 8], PARAMS, train, val, seed=0)
+    a.train(epochs=5)  # wandb_run=None -> blocked
+    b = iDBN([100, 16, 8], PARAMS, train, val, seed=0, wandb_run=None)
+    # force the per-epoch path by giving a run object that logs nowhere
+    b.wandb_run = FakeWandbRun()
+    b.train(epochs=5, log_every_pca=10**9, log_every_probe=10**9)
+    for ra, rb in zip(a.layers, b.layers):
+        np.testing.assert_array_equal(np.asarray(ra.W), np.asarray(rb.W))
+        np.testing.assert_array_equal(np.asarray(ra.vis_bias),
+                                      np.asarray(rb.vis_bias))
+    np.testing.assert_allclose(a.loss_history, b.loss_history, rtol=1e-6)
+
+
+def test_blocked_joint_equals_per_epoch():
+    from multimodal_idbn_tpu.models import iMDBN as _iMDBN
+
+    train, val, _ = create_dataloaders_uniform(batch_size=16, n_samples=56,
+                                               num_classes=3, side=10,
+                                               seed=0)
+
+    def build():
+        m = _iMDBN([100, 12], 8, params=PARAMS, dataloader=train,
+                   val_loader=val, num_labels=3, seed=0)
+        m.image_idbn.train(epochs=1)
+        return m
+
+    a = build()
+    a.train_joint(epochs=10)  # blocked (8 warmup + 2 main, 2 dispatches)
+    b = build()
+    b.wandb_run = FakeWandbRun()  # forces the per-epoch path
+    b.train_joint(epochs=10, log_every=10**9, log_every_pca=10**9,
+                  log_every_probe=10**9)
+    np.testing.assert_array_equal(np.asarray(a.joint_rbm.W),
+                                  np.asarray(b.joint_rbm.W))
+    np.testing.assert_array_equal(np.asarray(a.joint_rbm.vis_bias),
+                                  np.asarray(b.joint_rbm.vis_bias))
+    for k in a.last_metrics:
+        np.testing.assert_allclose(a.last_metrics[k], b.last_metrics[k],
+                                   rtol=1e-6)

@@ -65,6 +65,19 @@ def test_models_expose_epoch_timer():
         "LEARNING_RATE": 0.1, "WEIGHT_PENALTY": 1e-4, "INIT_MOMENTUM": 0.5,
         "FINAL_MOMENTUM": 0.9, "LEARNING_RATE_DYNAMIC": True, "CD": 1,
     }, train, val, seed=0)
-    m.train(epochs=2)
-    assert m.epoch_timer.count == 2
+    m.train(epochs=2)  # wandb_run=None -> epoch-blocked: 1 dispatch
+    assert m.epoch_timer.count == 1
     assert m.epoch_timer.steps_per_sec() > 0
+    assert len(m.loss_history) == 2  # per-epoch losses still recorded
+
+    # with a run object the per-epoch path times each epoch
+    class Run:
+        def log(self, d):
+            pass
+
+    m2 = iDBN([100, 16], {
+        "LEARNING_RATE": 0.1, "WEIGHT_PENALTY": 1e-4, "INIT_MOMENTUM": 0.5,
+        "FINAL_MOMENTUM": 0.9, "LEARNING_RATE_DYNAMIC": True, "CD": 1,
+    }, train, val, seed=0, wandb_run=Run())
+    m2.train(epochs=2, log_every_pca=10**9, log_every_probe=10**9)
+    assert m2.epoch_timer.count == 2
