@@ -594,6 +594,47 @@ class iMDBN_BiModal:
         from multimodal_idbn_tpu.ops.schedules import (
             effective_lr, effective_momentum)
 
+        if fused and self.wandb_run is None:
+            # Epoch-blocked path (no per-epoch logging without a run
+            # object): warmup and main epochs as two dispatches.
+            jr = self.joint_layers[0]
+            epochs = int(epochs)
+            blocks = []
+            w_end = min(WARMUP_EPOCHS, epochs)
+            if w_end > 0:
+                blocks.append((0, w_end, True))
+            if epochs > w_end:
+                blocks.append((w_end, epochs, False))
+            joint = self._joint_states()
+            final_totals = None
+            for start, end, warmup in blocks:
+                idx = jnp.arange(start, end, dtype=jnp.int32)
+                lr_arr = jnp.asarray(
+                    [effective_lr(jr.lr, e, jr.dynamic_lr)
+                     for e in range(start, end)], jnp.float32)
+                mom_arr = jnp.asarray(
+                    [effective_momentum(jr.momentum, jr.final_momentum, e)
+                     for e in range(start, end)], jnp.float32)
+                joint, cd_sums, cd_counts, totals = (
+                    bimodal_ops.bimodal_epoch_block(
+                        joint, mod1_states, mod2_states, epoch_key, Z1,
+                        Z2, V1, V2, idx, lr_arr, mom_arr, jr.weight_decay,
+                        warmup=warmup, joint_cd=self.joint_cd,
+                        aux_cond_steps=aux_cond_steps, Dz1=self.Dz_mod1,
+                        steps=self.cross_steps, batch_size=bs,
+                        metrics_every=metrics_every, n_epochs=end - start))
+                final_totals = bimodal_ops.BimodalMetrics(
+                    *(np.asarray(t)[-1] for t in totals))
+            self._set_joint_states(joint)
+            if final_totals is not None:
+                tot = {"n": float(final_totals.n),
+                       "mse_mod1": float(final_totals.mse_mod1),
+                       "mse_mod2": float(final_totals.mse_mod2)}
+                self._log_joint_epoch(epochs - 1, [], tot, 10 ** 9,
+                                      10 ** 9, 10 ** 9, 10 ** 9)
+            print("[iMDBN_BiModal] joint training finished.")
+            return
+
         for epoch in range(int(epochs)):
             warmup = epoch < WARMUP_EPOCHS
             jr = self.joint_layers[0]

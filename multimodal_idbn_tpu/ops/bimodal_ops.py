@@ -193,6 +193,93 @@ def bimodal_joint_epoch(joint: States, mod1_states, mod2_states, key,
 
 @partial(jax.jit,
          static_argnames=("warmup", "joint_cd", "aux_cond_steps", "Dz1",
+                          "steps", "batch_size", "metrics_every",
+                          "n_epochs"))
+def bimodal_epoch_block(joint: States, mod1_states, mod2_states,
+                        epoch_key: Array, Z1: Array, Z2: Array, V1: Array,
+                        V2: Array, epoch_idx: Array, lr_arr: Array,
+                        mom_arr: Array, weight_decay, *, warmup: bool,
+                        joint_cd: int, aux_cond_steps: int, Dz1: int,
+                        steps: int, batch_size: int,
+                        metrics_every: int = 1, n_epochs: int = 1):
+    """Run ``n_epochs`` bimodal joint epochs in ONE dispatch (nested scan)
+    with the per-epoch key derivation of the unblocked path — blocked and
+    per-epoch training are bit-identical. Returns
+    (joint', cd_sum[E], cd_count[E], BimodalMetrics-of-arrays[E])."""
+    n = Z1.shape[0]
+    nb = n // batch_size
+    rem = n - nb * batch_size
+
+    def epoch_body(joint, xs):
+        e_idx, lr, mom = xs
+        key = jax.random.fold_in(epoch_key, e_idx)
+        perm = jax.random.permutation(jax.random.fold_in(key, 0), n)
+        Z1p, Z2p, V1p, V2p = (a[perm] for a in (Z1, Z2, V1, V2))
+        kscan = jax.random.split(key)[1]
+
+        totals = zeros_metrics()
+        cd_sum = jnp.zeros((), jnp.float32)
+        cd_count = jnp.zeros((), jnp.float32)
+
+        if nb > 0:
+            def cut(X):
+                return X[:nb * batch_size].reshape(nb, batch_size, -1)
+
+            step_keys = jax.random.split(kscan, nb)
+
+            def body(carry, bxs):
+                joint, totals, loss_sum = carry
+                z1, z2, v1, v2, skey, b_idx = bxs
+                joint, cd_loss, m = _bimodal_train_batch(
+                    joint, mod1_states, mod2_states, skey, z1, z2, v1, v2,
+                    lr, mom, weight_decay, warmup=warmup,
+                    joint_cd=joint_cd, aux_cond_steps=aux_cond_steps,
+                    Dz1=Dz1, steps=steps,
+                    compute_metrics=(metrics_every == 1))
+                if metrics_every > 1:
+                    def compute(_):
+                        rec1, rec2 = bimodal_cross_reconstruct(
+                            joint[0], mod1_states, mod2_states,
+                            jax.random.fold_in(skey, 7), z1, z2,
+                            steps=steps, Dz1=Dz1)
+                        return BimodalMetrics(
+                            jnp.asarray(z1.shape[0], jnp.float32),
+                            ((rec1 - v1) ** 2).sum(),
+                            ((rec2 - v2) ** 2).sum())
+
+                    m = jax.lax.cond(b_idx % metrics_every == 0, compute,
+                                     lambda _: zeros_metrics(), None)
+                totals = BimodalMetrics(
+                    *(a + b for a, b in zip(totals, m)))
+                return (joint, totals, loss_sum + cd_loss), None
+
+            (joint, totals, cd_sum), _ = jax.lax.scan(
+                body, (joint, totals, cd_sum),
+                (cut(Z1p), cut(Z2p), cut(V1p), cut(V2p), step_keys,
+                 jnp.arange(nb, dtype=jnp.int32)))
+            cd_count = jnp.asarray(nb, jnp.float32)
+
+        if rem:
+            joint, cd_rem, m_rem = _bimodal_train_batch(
+                joint, mod1_states, mod2_states,
+                jax.random.fold_in(key, 991), Z1p[nb * batch_size:],
+                Z2p[nb * batch_size:], V1p[nb * batch_size:],
+                V2p[nb * batch_size:], lr, mom, weight_decay,
+                warmup=warmup, joint_cd=joint_cd,
+                aux_cond_steps=aux_cond_steps, Dz1=Dz1, steps=steps,
+                compute_metrics=(metrics_every == 1))
+            totals = BimodalMetrics(*(a + b for a, b in zip(totals, m_rem)))
+            cd_sum = cd_sum + cd_rem
+            cd_count = cd_count + 1.0
+        return joint, (cd_sum, cd_count, totals)
+
+    joint, (cd_sums, cd_counts, totals) = jax.lax.scan(
+        epoch_body, joint, (epoch_idx, lr_arr, mom_arr))
+    return joint, cd_sums, cd_counts, totals
+
+
+@partial(jax.jit,
+         static_argnames=("warmup", "joint_cd", "aux_cond_steps", "Dz1",
                           "steps", "compute_metrics"))
 def bimodal_batch_step(joint: States, mod1_states, mod2_states, key, z1, z2,
                        v1, v2, lr, mom, weight_decay, *, warmup: bool,

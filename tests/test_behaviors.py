@@ -282,3 +282,30 @@ def test_blocked_joint_equals_per_epoch():
     for k in a.last_metrics:
         np.testing.assert_allclose(a.last_metrics[k], b.last_metrics[k],
                                    rtol=1e-6)
+
+
+def test_blocked_bimodal_equals_per_epoch():
+    from multimodal_idbn_tpu.models import iMDBN_BiModal
+
+    train, val, _ = create_dataloaders_uniform(
+        batch_size=16, n_samples=56, num_classes=3, side=10, seed=0,
+        second_modality="mnist100")
+
+    def build():
+        m = iMDBN_BiModal([100, 12], [1568, 16], [8], params=PARAMS,
+                          dataloader=train, val_loader=val, seed=0)
+        return m
+
+    a = build()
+    a.train_joint(epochs=10)  # blocked (8 warmup + 2 main)
+    b = build()
+    b.wandb_run = FakeWandbRun()  # per-epoch path
+    b.train_joint(epochs=10, log_every=10**9, log_every_pca=10**9,
+                  log_every_probe=10**9, log_every_trajectory=10**9)
+    # identical RNG; XLA fuses the larger blocked program slightly
+    # differently, so agreement is to ~1 ulp
+    np.testing.assert_allclose(np.asarray(a.joint_rbm.W),
+                               np.asarray(b.joint_rbm.W), atol=1e-5)
+    for k in a.last_metrics:
+        np.testing.assert_allclose(a.last_metrics[k], b.last_metrics[k],
+                                   rtol=1e-4)
