@@ -182,3 +182,46 @@ def test_joint_warmup_batch_matches_oracle(det_random):
     assert float(cd_loss) == 0.0  # no free CD during warmup
     np.testing.assert_allclose(np.asarray(new_joint.w), ojoint.w,
                                rtol=2e-4, atol=2e-4)
+
+
+def _oracle_candidates(ojoint, y, zcm, steps):
+    vk2 = np.zeros((B, V), np.float32)
+    vk2[:, Dz:] = y
+    km2 = np.zeros((B, V), np.float32)
+    km2[:, Dz:] = 1.0
+    mu_k = zcm[y.argmax(1)]
+    cands = [ojoint.noisy_meanfield_annealed(
+        vk2, km2, n_steps=steps, T0=3.0, T1=1.0, sigma0=0.9,
+        sharpen_last=3, T_cold_plus=0.9, mu_k=mu_k, eta0=0.15)]
+    for _ in range(4):
+        cands.append(ojoint.noisy_meanfield_annealed(
+            cands[-1], km2, n_steps=1, T0=0.9, T1=0.9, sigma0=0.0,
+            sharpen_last=0, T_cold_plus=0.9, mu_k=mu_k, eta0=0.15))
+    F = np.stack([ojoint.free_energy(c) for c in cands])  # [5, B]
+    return cands, F.argmin(0)
+
+
+def test_best_of_k_free_energy_selection(det_random):
+    """use_free_energy=True must pick the per-sample argmin-free-energy
+    candidate among [annealed chain, 4 cold refinements] (the reference's
+    intended-but-broken selector, SURVEY.md §2.1(10))."""
+    # find a seed whose oracle selection is non-trivial (some sample
+    # prefers a refinement over the full chain)
+    for seed in range(5, 30):
+        joint, ojoint, idbn, oimg, z, y, zcm, _ = make_models(seed)
+        cands, best = _oracle_candidates(ojoint, y, zcm, steps=5)
+        if (best > 0).any():
+            break
+    else:
+        pytest.skip("no non-trivial selection seed found")
+
+    img_j, _ = imdbn_ops.cross_reconstruct(
+        joint, idbn, KEY, jnp.asarray(z), jnp.asarray(y), steps=5, Dz=Dz,
+        groups=GROUPS, z_class_mean=jnp.asarray(zcm), use_free_energy=True,
+        best_of_k=5)
+    v_pick = np.stack([cands[best[b]][b] for b in range(B)])
+    from oracle_np import sigmoid
+    img_o = sigmoid(v_pick[:, :Dz] @ oimg.w.T + oimg.vb)
+    np.testing.assert_allclose(np.asarray(img_j), img_o, rtol=2e-4,
+                               atol=2e-4)
+    assert (best > 0).any()  # selection exercised beyond candidate 0
