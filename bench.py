@@ -147,14 +147,21 @@ def bench_gibbs_chains():
 
 
 def main():
-    torch_epoch = bench_torch_cpu()
+    # Primary metric first: a missing/broken torch must not prevent the
+    # JSON line (torch is the optional baseline denominator, not a dep).
     jax_epoch = bench_jax()
+    try:
+        torch_epoch = bench_torch_cpu()
+        vs_baseline = round(torch_epoch / jax_epoch, 2)
+    except Exception as e:  # pragma: no cover - env-dependent
+        log(f"[bench] torch-CPU baseline unavailable: {e}")
+        vs_baseline = None
     bench_gibbs_chains()
     result = {
         "metric": "idbn_cd1_epoch_time_10000-1500-500_b128",
         "value": round(jax_epoch, 4),
         "unit": "s",
-        "vs_baseline": round(torch_epoch / jax_epoch, 2),
+        "vs_baseline": vs_baseline,
     }
     print(json.dumps(result))
 

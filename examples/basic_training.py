@@ -12,9 +12,12 @@ runs self-contained on synthetic data:
 4. Save and reload the model
 """
 
+import sys
 from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from multimodal_idbn_tpu.data import create_dataloaders_uniform
 from multimodal_idbn_tpu.models import iMDBN

@@ -70,7 +70,7 @@ class NumerosityDataset:
 
     def gather(self, indices: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Vectorized batch gather."""
-        return self._pair(np.asarray(indices))
+        return self._pair(np.asarray(indices, dtype=np.int64))
 
 
 class Subset:
@@ -88,7 +88,10 @@ class Subset:
         return self.dataset[self.indices[int(i)]]
 
     def gather(self, indices: np.ndarray) -> Tuple[np.ndarray, ...]:
-        base_idx = np.asarray(self.indices)[np.asarray(indices)]
+        # explicit int64: np.asarray([]) defaults to float64, which would
+        # crash integer indexing on empty splits
+        base_idx = np.asarray(self.indices, dtype=np.int64)[
+            np.asarray(indices, dtype=np.int64)]
         return self.dataset.gather(base_idx)
 
 

@@ -216,7 +216,7 @@ class iDBN:
             mom_arr = jnp.asarray([self._schedule(e)[1] for e in range(E)],
                                   jnp.float32)
             bs = getattr(self.dataloader, "batch_size", 128)
-            with timer.step():
+            with timer.step(E):
                 states, sums, counts = dbn_train.idbn_epoch_block(
                     self._states(), epoch_key, data,
                     jnp.arange(E, dtype=jnp.int32), lr_arr, mom_arr,

@@ -481,7 +481,7 @@ class iMDBN:
             mom_arr = jnp.asarray(
                 [effective_momentum(jr.momentum, jr.final_momentum, e)
                  for e in range(start, end)], jnp.float32)
-            with timer.step():
+            with timer.step(E):
                 joint, cd_sums, cd_counts, totals = (
                     imdbn_ops.joint_epoch_block(
                         joint, idbn_states, epoch_key, Z, Y, X, idx,

@@ -51,10 +51,15 @@ class StepTimer:
         self.durations: list = []
 
     @contextlib.contextmanager
-    def step(self):
+    def step(self, n: int = 1):
+        """Time a region covering ``n`` logical steps; the elapsed time is
+        recorded amortized (``n`` equal entries) so per-step statistics
+        stay meaningful when one dispatch covers a whole epoch block."""
+        n = max(1, int(n))
         t0 = time.perf_counter()
         yield
-        self.durations.append(time.perf_counter() - t0)
+        dt = (time.perf_counter() - t0) / n
+        self.durations.extend([dt] * n)
 
     @property
     def count(self) -> int:

@@ -109,7 +109,12 @@ def _create_modality_dataloader(train_loader, modality_idx: int):
         indices = list(range(len(base)))
 
     idx = np.asarray(indices)
-    images = (base.images if modality_idx == 0 else base.mod2_images)[idx]
+    source = base.images if modality_idx == 0 else base.mod2_images
+    if source is None:
+        raise ValueError(
+            f"dataset has no modality-{modality_idx + 1} images — check the "
+            f"config's dataset.second_modality setting")
+    images = source[idx]
     labels = np.asarray(base.labels)[idx]
     ds = NumerosityDataset(
         images=images, labels=labels, onehot=base.onehot[idx],
@@ -148,6 +153,16 @@ def main():
         n_samples=dataset.get("n_samples", 512),
         side=dataset.get("side", 100),
     )
+
+    # fail fast BEFORE any training: MOD2 pretraining and the joint model
+    # both need a second modality in the dataset
+    base = train_loader.dataset
+    base = getattr(base, "dataset", base)
+    if getattr(base, "mod2_images", None) is None:
+        raise ValueError(
+            "bimodal training needs a second modality but the dataset has "
+            "none — set dataset.second_modality (e.g. 'mnist100') in the "
+            "config")
 
     wandb_run = maybe_wandb(cfg, params)
 

@@ -142,16 +142,9 @@ def main():
 
     # 1) image iDBN: load if available, otherwise train
     image_pre = cfg.get("paths", {}).get("image_idbn_pretrained")
-    if image_pre:
-        ok = imdbn.load_pretrained_image_idbn(image_pre)
-        if not ok:
-            print("[main] fallback: training image iDBN from scratch...")
-            imdbn.image_idbn.train(
-                params["EPOCHS_IMG"],
-                log_every_pca=log_params["LOG_EVERY_PCA"],
-                log_every_probe=log_params["LOG_EVERY_PROBE"])
-    else:
-        print("Training image iDBN...")
+    if not (image_pre and imdbn.load_pretrained_image_idbn(image_pre)):
+        print("Training image iDBN..." if not image_pre else
+              "[main] fallback: training image iDBN from scratch...")
         imdbn.image_idbn.train(
             params["EPOCHS_IMG"],
             log_every_pca=log_params["LOG_EVERY_PCA"],

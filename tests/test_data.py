@@ -126,3 +126,17 @@ def test_dataloader_remainder_and_drop_last():
     sub = Subset(ds, [1, 3, 5])
     assert len(sub) == 3
     np.testing.assert_array_equal(sub[0][0], ds[1][0])
+
+
+def test_empty_subset_gather_and_materialize():
+    """np.asarray([]) is float64 — Subset/gather must force int indices so
+    empty splits materialize to empty arrays instead of IndexError."""
+    d = generate_numerosity_dataset(n_samples=6, num_classes=3, side=16,
+                                    seed=0)
+    ds = NumerosityDataset(d["images"], d["labels"], d["onehot"],
+                           d["cumArea"], d["CH"])
+    sub = Subset(ds, [])
+    out = sub.gather(np.arange(0))
+    assert all(len(a) == 0 for a in out)
+    X, Y = DataLoader(sub, batch_size=4).materialize()
+    assert X.shape[0] == 0 and Y.shape[0] == 0

@@ -65,8 +65,8 @@ def test_models_expose_epoch_timer():
         "LEARNING_RATE": 0.1, "WEIGHT_PENALTY": 1e-4, "INIT_MOMENTUM": 0.5,
         "FINAL_MOMENTUM": 0.9, "LEARNING_RATE_DYNAMIC": True, "CD": 1,
     }, train, val, seed=0)
-    m.train(epochs=2)  # wandb_run=None -> epoch-blocked: 1 dispatch
-    assert m.epoch_timer.count == 1
+    m.train(epochs=2)  # wandb_run=None -> epoch-blocked: 1 dispatch,
+    assert m.epoch_timer.count == 2  # amortized to per-epoch entries
     assert m.epoch_timer.steps_per_sec() > 0
     assert len(m.loss_history) == 2  # per-epoch losses still recorded
 
@@ -81,3 +81,14 @@ def test_models_expose_epoch_timer():
     }, train, val, seed=0, wandb_run=Run())
     m2.train(epochs=2, log_every_pca=10**9, log_every_probe=10**9)
     assert m2.epoch_timer.count == 2
+
+
+def test_step_timer_amortized_block():
+    """step(n=E) records E equal per-step entries so p50/mean stay
+    per-epoch even when one dispatch covers a whole epoch block."""
+    t = StepTimer()
+    with t.step(5):
+        time.sleep(0.05)
+    assert t.count == 5
+    assert len(set(np.round(t.durations, 9))) == 1
+    assert 0.005 < t.p50() < 0.05  # per-epoch, not per-block
