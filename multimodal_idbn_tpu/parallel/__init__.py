@@ -9,6 +9,11 @@ batch) reduced by XLA-inserted ICI collectives. Randomness stays invariant
 to chip count because threefry is counter-based and partitionable.
 """
 
+from multimodal_idbn_tpu.parallel.distributed import (  # noqa: F401
+    initialize_distributed,
+    is_multi_process,
+    local_batch_slice,
+)
 from multimodal_idbn_tpu.parallel.data_parallel import (  # noqa: F401
     batch_sharding,
     dp_cd_update,

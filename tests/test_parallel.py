@@ -198,3 +198,24 @@ def test_dp_joint_epoch_non_divisible_n():
         groups=((Dz, Dz + K),), batch_size=8)
     assert np.isfinite(float(cd))
     assert float(tot.n) == 32  # trimmed to the divisible length
+
+
+def test_initialize_distributed_single_process(monkeypatch):
+    """Single-process: initialize_distributed degrades gracefully and the
+    local-batch helper covers the full batch."""
+    from multimodal_idbn_tpu.parallel import (initialize_distributed,
+                                              is_multi_process,
+                                              local_batch_slice)
+    # auto-detect off-pod -> graceful False (never pass explicit
+    # coordinator args single-process: the join protocol blocks and
+    # jax's distributed service aborts the process on deadline)
+    assert initialize_distributed() is False
+    assert jax.device_count() >= 1
+    assert not is_multi_process()
+    assert local_batch_slice(8) == slice(0, 8)
+    # simulate a 4-process slice: rows split evenly, non-divisible raises
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    monkeypatch.setattr(jax, "process_index", lambda: 2)
+    assert local_batch_slice(8) == slice(4, 6)
+    with pytest.raises(ValueError):
+        local_batch_slice(7)
