@@ -330,6 +330,34 @@ class iMDBN:
             use_free_energy=not self.reference_best_of_k_bug)
         return img, p_y
 
+    def img2txt(self, images):
+        """Label posterior p(y|img) [B, K] for raw images [B, D] or
+        [B, H, W] — the IMG→TXT half of the cross-modal round trip
+        (conditional mean-field Gibbs with the z block clamped).
+
+        Convenience over the reference flow, which requires the caller to
+        chain ``image_idbn.represent`` + ``_cross_reconstruct`` by hand
+        (reference imdbn.py:387-488)."""
+        img = as_array(images)
+        img = img.reshape(img.shape[0], -1)
+        z = self.image_idbn.represent(img)
+        y0 = jnp.zeros((img.shape[0], self.num_labels), jnp.float32)
+        _, p_y = self._cross_reconstruct(z, y0)
+        return p_y
+
+    def txt2img(self, labels):
+        """Decoded images [B, D] from labels — the TXT→IMG half (noisy
+        mean-field annealing with μ-pull, decoded through the image iDBN).
+
+        ``labels`` may be integer class ids [B] or one-hot [B, K]."""
+        y = np.asarray(as_array(labels))
+        if y.ndim == 1:
+            y = np.eye(self.num_labels, dtype=np.float32)[
+                y.astype(np.int64)]
+        z0 = jnp.zeros((y.shape[0], self.Dz_img), jnp.float32)
+        img, _ = self._cross_reconstruct(z0, y.astype(np.float32))
+        return img
+
     def represent(self, batch) -> jax.Array:
         """Joint hidden activations for (images, one-hot labels)
         (reference imdbn.py:491-506)."""

@@ -543,6 +543,25 @@ class iMDBN_BiModal:
             as_array(z_mod1), as_array(z_mod2), steps=int(steps),
             Dz1=self.Dz_mod1)
 
+    def mod1_to_mod2(self, mod1_images):
+        """Decoded modality-2 images from raw modality-1 images [B, ...]
+        — convenience over chaining ``mod1_dbn.represent`` +
+        ``_cross_reconstruct`` by hand (reference imdbn_bimodal.py:648-693
+        has only the internal method)."""
+        x = as_array(mod1_images)
+        z1 = self.mod1_dbn.represent(x.reshape(x.shape[0], -1))
+        z2_0 = jnp.zeros((x.shape[0], self.Dz_mod2), jnp.float32)
+        _, mod2 = self._cross_reconstruct(z1, z2_0)
+        return mod2
+
+    def mod2_to_mod1(self, mod2_images):
+        """Decoded modality-1 images from raw modality-2 images [B, ...]."""
+        x = as_array(mod2_images)
+        z2 = self.mod2_dbn.represent(x.reshape(x.shape[0], -1))
+        z1_0 = jnp.zeros((x.shape[0], self.Dz_mod1), jnp.float32)
+        mod1, _ = self._cross_reconstruct(z1_0, z2)
+        return mod1
+
     def represent(self, batch: Tuple) -> jax.Array:
         """Joint representation through ALL joint layers (reference
         imdbn_bimodal.py:695-709)."""

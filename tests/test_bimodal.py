@@ -206,3 +206,16 @@ def test_finetune_hooks_exist(model):
     exist there (latent AttributeError, SURVEY.md §2.2); we provide them."""
     model.finetune_mod1_last_layer(epochs=0)
     model.finetune_mod2_last_layer(epochs=0)
+
+
+def test_mod_to_mod_convenience(model, loaders):
+    """Public cross-modal wrappers on raw images."""
+    _, val, _ = loaders
+    batch = next(iter(val))
+    x1, x2 = np.asarray(batch[0]), np.asarray(batch[1])
+    m2 = np.asarray(model.mod1_to_mod2(x1))
+    assert m2.shape == (len(x1), D2)
+    assert np.isfinite(m2).all()
+    m1 = np.asarray(model.mod2_to_mod1(x2))
+    assert m1.shape == (len(x2), SIDE * SIDE)
+    assert np.isfinite(m1).all()

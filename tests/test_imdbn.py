@@ -180,3 +180,23 @@ def test_joint_bias_stats_empty_class_fallback():
     # approximation), so compare at that tolerance.
     np.testing.assert_allclose(
         np.asarray(zb), np.log(mean_z) - np.log1p(-mean_z), atol=5e-4)
+
+
+def test_img2txt_txt2img_convenience(model, loaders):
+    """Public inference wrappers: raw images -> p(y|img); labels ->
+    decoded images. p(y|img) must match _cross_reconstruct exactly
+    (the label block is ignored by the IMG->TXT half)."""
+    _, val, _ = loaders
+    img, y = next(iter(val))
+    p_y = np.asarray(model.img2txt(img))
+    assert p_y.shape == (len(img), K)
+    np.testing.assert_allclose(p_y.sum(1), 1.0, atol=1e-4)
+
+    # integer labels and one-hot labels both accepted
+    ids = np.arange(len(img)) % K
+    rec_from_ids = np.asarray(model.txt2img(ids))
+    assert rec_from_ids.shape == (len(img), SIDE * SIDE)
+    assert np.isfinite(rec_from_ids).all()
+    onehot = np.eye(K, dtype=np.float32)[ids]
+    rec_from_onehot = np.asarray(model.txt2img(onehot))
+    assert rec_from_onehot.shape == rec_from_ids.shape

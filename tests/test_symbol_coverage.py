@@ -88,6 +88,8 @@ IMDBN_METHODS = [
     "load_pretrained_image_idbn", "finetune_image_last_layer",
     "_cross_reconstruct", "represent", "train_joint", "_log_snapshots",
     "save_model", "load_model",
+    # framework conveniences beyond the reference surface
+    "img2txt", "txt2img",
 ]
 
 BIMODAL_METHODS = [
@@ -96,6 +98,8 @@ BIMODAL_METHODS = [
     "train_joint", "_log_snapshots", "save_model", "load_model",
     # called by the reference CLI but missing there (SURVEY.md §2.2)
     "finetune_mod1_last_layer", "finetune_mod2_last_layer",
+    # framework conveniences beyond the reference surface
+    "mod1_to_mod2", "mod2_to_mod1",
 ]
 
 
