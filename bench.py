@@ -60,14 +60,23 @@ def bench_jax():
     jax.block_until_ready(states)
     log(f"[bench] first epoch (compile): {time.perf_counter() - t0:.1f}s")
 
-    n_epochs = 5
-    t0 = time.perf_counter()
-    for e in range(1, n_epochs + 1):
-        states, losses = epoch(states, e)
-    jax.block_until_ready(states)
-    dt = (time.perf_counter() - t0) / n_epochs
-    log(f"[bench] steady-state epoch: {dt * 1000:.1f} ms "
-        f"(loss {float(losses.mean()):.4f})")
+    # Median over groups: per-dispatch tunnel jitter makes a single
+    # 5-epoch average wobble 1-3 ms run-to-run; the median of several
+    # groups is stable.
+    group, n_groups = 5, 5
+    e = 1
+    times = []
+    for _ in range(n_groups):
+        t0 = time.perf_counter()
+        for _ in range(group):
+            states, losses = epoch(states, e)
+            e += 1
+        jax.block_until_ready(states)
+        times.append((time.perf_counter() - t0) / group)
+    dt = float(np.median(times))
+    log(f"[bench] steady-state epoch: {dt * 1000:.1f} ms median "
+        f"(groups: {[round(t * 1000, 1) for t in times]} ms, "
+        f"loss {float(losses.mean()):.4f})")
     return dt
 
 
