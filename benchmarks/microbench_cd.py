@@ -101,22 +101,31 @@ def main():
                       f"mean-field CD-{args.cd} (no sampling)")
 
     # 3) pure sampling cost on the chain's shapes: per CD step the chain
-    # samples one [B,V] visible and one [B,H] hidden (+ initial hidden).
-    def sampling_only(carry, i):
-        k, acc = carry
-        k = jax.random.fold_in(k, i)
-        keys = jax.random.split(k, 2 * args.cd + 1)
+    # samples one [B,V] visible (production `sample_visible` — Bernoulli
+    # + Gumbel-max categorical for the softmax label group) and one [B,H]
+    # hidden, plus the initial hidden draw. Every draw feeds the carry so
+    # XLA cannot dead-code-eliminate any of the 2*cd+1 draws.
+    from multimodal_idbn_tpu.ops.sampling import sample_visible
+
+    def sampling_core(keys, acc):
         vlike = acc[:, :V]
         hlike = acc[:, :H]
         out = sample_bernoulli(keys[0], jax.nn.sigmoid(hlike))
         for s in range(args.cd):
-            sv = sample_bernoulli(keys[1 + 2 * s],
-                                  apply_softmax_groups(
-                                      jax.nn.sigmoid(vlike), vlike, GROUPS))
+            v_prob = apply_softmax_groups(jax.nn.sigmoid(vlike), vlike,
+                                          GROUPS)
+            sv = sample_visible(keys[1 + 2 * s], v_prob, GROUPS)
             sh = sample_bernoulli(keys[2 + 2 * s], jax.nn.sigmoid(hlike))
-            out = out + sh
             vlike = vlike + sv * 1e-9
-        return (k, acc + 1e-9 * vlike.sum())
+            hlike = hlike + sh * 1e-9
+        # fold every sampled tensor into the carry (keeps all draws live)
+        return acc + 1e-9 * (vlike.sum() + hlike.sum() + out.sum())
+
+    def sampling_only(carry, i):
+        k, acc = carry
+        k = jax.random.fold_in(k, i)
+        keys = jax.random.split(k, 2 * args.cd + 1)
+        return (k, sampling_core(keys, acc))
 
     acc = jnp.zeros((B, V), jnp.float32)
     t_samp = timed_scan(sampling_only, (key, acc), args.steps,
@@ -129,18 +138,7 @@ def main():
 
     def sampling_presplit(carry, i):
         acc, = carry
-        keys = all_keys[i]
-        vlike = acc[:, :V]
-        hlike = acc[:, :H]
-        out = sample_bernoulli(keys[0], jax.nn.sigmoid(hlike))
-        for s in range(args.cd):
-            sv = sample_bernoulli(keys[1 + 2 * s],
-                                  apply_softmax_groups(
-                                      jax.nn.sigmoid(vlike), vlike, GROUPS))
-            sh = sample_bernoulli(keys[2 + 2 * s], jax.nn.sigmoid(hlike))
-            out = out + sh
-            vlike = vlike + sv * 1e-9
-        return (acc + 1e-9 * vlike.sum(),)
+        return (sampling_core(all_keys[i], acc),)
 
     t_pre = timed_scan(sampling_presplit, (acc,), args.steps,
                        "  ... with pre-split keys")

@@ -307,7 +307,8 @@ class iMDBN:
     # -- cross-modal inference (imdbn.py:387-488) ----------------------------------
 
     def _cross_reconstruct(self, z_img, y_onehot,
-                           steps: Optional[int] = None):
+                           steps: Optional[int] = None,
+                           direction: str = "both"):
         """IMG→TXT + TXT→IMG round trip; returns (decoded images, p(y|img)).
 
         Reference imdbn.py:387-488; best-of-K selection honors
@@ -327,7 +328,8 @@ class iMDBN:
             self.joint_rbm._next_key(), z_img, y_onehot, steps=int(steps),
             Dz=self.Dz_img, groups=self._joint_groups(),
             z_class_mean=self.z_class_mean, z_affine=z_affine,
-            use_free_energy=not self.reference_best_of_k_bug)
+            use_free_energy=not self.reference_best_of_k_bug,
+            direction=direction)
         return img, p_y
 
     def img2txt(self, images):
@@ -342,7 +344,7 @@ class iMDBN:
         img = img.reshape(img.shape[0], -1)
         z = self.image_idbn.represent(img)
         y0 = jnp.zeros((img.shape[0], self.num_labels), jnp.float32)
-        _, p_y = self._cross_reconstruct(z, y0)
+        _, p_y = self._cross_reconstruct(z, y0, direction="img2txt")
         return p_y
 
     def txt2img(self, labels):
@@ -352,10 +354,15 @@ class iMDBN:
         ``labels`` may be integer class ids [B] or one-hot [B, K]."""
         y = np.asarray(as_array(labels))
         if y.ndim == 1:
-            y = np.eye(self.num_labels, dtype=np.float32)[
-                y.astype(np.int64)]
+            ids = y.astype(np.int64)
+            if ids.size and (ids.min() < 0 or ids.max() >= self.num_labels):
+                raise ValueError(
+                    f"label ids must be in [0, {self.num_labels}); got "
+                    f"range [{ids.min()}, {ids.max()}]")
+            y = np.eye(self.num_labels, dtype=np.float32)[ids]
         z0 = jnp.zeros((y.shape[0], self.Dz_img), jnp.float32)
-        img, _ = self._cross_reconstruct(z0, y.astype(np.float32))
+        img, _ = self._cross_reconstruct(z0, y.astype(np.float32),
+                                         direction="txt2img")
         return img
 
     def represent(self, batch) -> jax.Array:
@@ -500,6 +507,7 @@ class iMDBN:
 
         joint = jr.state
         final_totals = None
+        self.joint_metrics_history = []
         for start, end, warmup in blocks:
             E = end - start
             idx = jnp.arange(start, end, dtype=jnp.int32)
@@ -521,6 +529,23 @@ class iMDBN:
                         use_free_energy=not self.reference_best_of_k_bug,
                         zclamp_every=50, batch_size=bs,
                         metrics_every=metrics_every, n_epochs=E))
+            # Per-epoch metric curves (the block computes them anyway) —
+            # kept on the model so blocked runs still expose history.
+            per_epoch = [np.asarray(t) for t in totals]
+            npix = X.shape[1]
+            for ei in range(E):
+                n = float(per_epoch[totals._fields.index("n")][ei])
+                row = {f: float(a[ei]) for f, a in zip(totals._fields,
+                                                       per_epoch)}
+                if n > 0:
+                    self.joint_metrics_history.append({
+                        "epoch": start + ei,
+                        "cross_modality/text_top1": row["top1"] / n,
+                        "cross_modality/text_top3": row["top3"] / n,
+                        "cross_modality/text_ce": row["ce_sum"] / n,
+                        "cross_modality/image_mse":
+                            row["mse_sum"] / max(1.0, n * npix),
+                    })
             final_totals = imdbn_ops.CrossMetrics(
                 *(np.asarray(t)[-1] for t in totals))
         jr.state = joint

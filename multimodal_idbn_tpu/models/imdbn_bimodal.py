@@ -531,7 +531,8 @@ class iMDBN_BiModal:
     # -- inference (reference :647-709) ----------------------------------------
 
     def _cross_reconstruct(self, z_mod1, z_mod2,
-                           steps: Optional[int] = None):
+                           steps: Optional[int] = None,
+                           direction: str = "both"):
         """Symmetric cross-reconstruction through joint layer 0
         (reference imdbn_bimodal.py:648-693). Returns
         (mod1_from_mod2, mod2_from_mod1)."""
@@ -541,7 +542,7 @@ class iMDBN_BiModal:
             self.joint_rbm.state, self.mod1_dbn._states(),
             self.mod2_dbn._states(), self.joint_rbm._next_key(),
             as_array(z_mod1), as_array(z_mod2), steps=int(steps),
-            Dz1=self.Dz_mod1)
+            Dz1=self.Dz_mod1, direction=direction)
 
     def mod1_to_mod2(self, mod1_images):
         """Decoded modality-2 images from raw modality-1 images [B, ...]
@@ -551,7 +552,7 @@ class iMDBN_BiModal:
         x = as_array(mod1_images)
         z1 = self.mod1_dbn.represent(x.reshape(x.shape[0], -1))
         z2_0 = jnp.zeros((x.shape[0], self.Dz_mod2), jnp.float32)
-        _, mod2 = self._cross_reconstruct(z1, z2_0)
+        _, mod2 = self._cross_reconstruct(z1, z2_0, direction="1to2")
         return mod2
 
     def mod2_to_mod1(self, mod2_images):
@@ -559,7 +560,7 @@ class iMDBN_BiModal:
         x = as_array(mod2_images)
         z2 = self.mod2_dbn.represent(x.reshape(x.shape[0], -1))
         z1_0 = jnp.zeros((x.shape[0], self.Dz_mod1), jnp.float32)
-        mod1, _ = self._cross_reconstruct(z1_0, z2)
+        mod1, _ = self._cross_reconstruct(z1_0, z2, direction="2to1")
         return mod1
 
     def represent(self, batch: Tuple) -> jax.Array:

@@ -39,31 +39,41 @@ def zeros_metrics() -> BimodalMetrics:
 
 def bimodal_cross_reconstruct(joint0: rbm_ops.RBMState, mod1_states,
                               mod2_states, key: Array, z1: Array, z2: Array,
-                              *, steps: int, Dz1: int):
+                              *, steps: int, Dz1: int,
+                              direction: str = "both"):
     """MOD1→MOD2 and MOD2→MOD1 through joint layer 0
     (reference imdbn_bimodal.py:648-693): conditional Gibbs with
     stochastic h, mean-field v, then decode through each modality DBN.
-    Returns (mod1_from_mod2, mod2_from_mod1)."""
+    Returns (mod1_from_mod2, mod2_from_mod1); ``direction``
+    ("both" | "1to2" | "2to1") statically skips the unused chain for
+    one-direction wrappers (shared key split — the kept direction is
+    bit-identical to "both"; the skipped output is None)."""
+    if direction not in ("both", "1to2", "2to1"):
+        raise ValueError(f"unknown direction {direction!r}")
     B = z1.shape[0]
     Dz2 = z2.shape[1]
     k1, k2 = jax.random.split(key)
-
-    v_known = jnp.concatenate([z1, jnp.zeros((B, Dz2), z1.dtype)], axis=1)
     km = jnp.concatenate([jnp.ones((B, Dz1), z1.dtype),
                           jnp.zeros((B, Dz2), z1.dtype)], axis=1)
-    v_1to2 = rbm_ops.conditional_gibbs(joint0, k1, v_known, km,
-                                       n_steps=steps, sample_h=True,
-                                       sample_v=False, groups=())
-    z2_from_1 = v_1to2[:, Dz1:]
 
-    v_known2 = jnp.concatenate([jnp.zeros((B, Dz1), z1.dtype), z2], axis=1)
-    v_2to1 = rbm_ops.conditional_gibbs(joint0, k2, v_known2, 1.0 - km,
-                                       n_steps=steps, sample_h=True,
-                                       sample_v=False, groups=())
-    z1_from_2 = v_2to1[:, :Dz1]
+    mod2_from_mod1 = None
+    if direction in ("both", "1to2"):
+        v_known = jnp.concatenate([z1, jnp.zeros((B, Dz2), z1.dtype)],
+                                  axis=1)
+        v_1to2 = rbm_ops.conditional_gibbs(joint0, k1, v_known, km,
+                                           n_steps=steps, sample_h=True,
+                                           sample_v=False, groups=())
+        mod2_from_mod1 = dbn_train.dbn_decode(mod2_states, v_1to2[:, Dz1:])
 
-    mod1_from_mod2 = dbn_train.dbn_decode(mod1_states, z1_from_2)
-    mod2_from_mod1 = dbn_train.dbn_decode(mod2_states, z2_from_1)
+    mod1_from_mod2 = None
+    if direction in ("both", "2to1"):
+        v_known2 = jnp.concatenate([jnp.zeros((B, Dz1), z1.dtype), z2],
+                                   axis=1)
+        v_2to1 = rbm_ops.conditional_gibbs(joint0, k2, v_known2, 1.0 - km,
+                                           n_steps=steps, sample_h=True,
+                                           sample_v=False, groups=())
+        mod1_from_mod2 = dbn_train.dbn_decode(mod1_states, v_2to1[:, :Dz1])
+
     return mod1_from_mod2, mod2_from_mod1
 
 
@@ -294,4 +304,4 @@ def bimodal_batch_step(joint: States, mod1_states, mod2_states, key, z1, z2,
 
 
 _bimodal_cross_jit = jax.jit(bimodal_cross_reconstruct,
-                             static_argnames=("steps", "Dz1"))
+                             static_argnames=("steps", "Dz1", "direction"))

@@ -81,7 +81,8 @@ def cross_reconstruct(joint: rbm_ops.RBMState, idbn_states, key: Array,
                       z_class_mean: Optional[Array] = None,
                       z_affine: Optional[Tuple[Array, Array]] = None,
                       use_free_energy: bool = False,
-                      best_of_k: int = 5) -> Tuple[Array, Array]:
+                      best_of_k: int = 5,
+                      direction: str = "both") -> Tuple[Array, Array]:
     """IMG→TXT then TXT→IMG through the joint RBM; returns
     (decoded image [B, D], p(y|img) [B, K]).
 
@@ -103,17 +104,31 @@ def cross_reconstruct(joint: rbm_ops.RBMState, idbn_states, key: Array,
     K = y_onehot.shape[1]
     k_i2t, k_t2i, k_ref = jax.random.split(key, 3)
 
-    # --- IMG→TXT (imdbn.py:419-427)
-    v_known = jnp.concatenate(
-        [z_img, jnp.zeros((B, K), z_img.dtype)], axis=1)
+    # `direction` ("both" | "img2txt" | "txt2img") statically skips the
+    # unused half for one-direction public wrappers; key derivation is
+    # shared, so the kept half is bit-identical to the "both" path. The
+    # skipped output is returned as None.
+    if direction not in ("both", "img2txt", "txt2img"):
+        raise ValueError(f"unknown direction {direction!r}")
+
+    p_y_given_img = None
+    if direction in ("both", "img2txt"):
+        # --- IMG→TXT (imdbn.py:419-427)
+        v_known = jnp.concatenate(
+            [z_img, jnp.zeros((B, K), z_img.dtype)], axis=1)
+        km_i = jnp.concatenate(
+            [jnp.ones((B, Dz), z_img.dtype),
+             jnp.zeros((B, K), z_img.dtype)], axis=1)
+        v_img2txt = rbm_ops.conditional_gibbs(
+            joint, k_i2t, v_known, km_i, n_steps=steps, sample_h=False,
+            sample_v=False, groups=groups)
+        p_y_given_img = v_img2txt[:, Dz:]
+    if direction == "img2txt":
+        return None, p_y_given_img
+
     km = jnp.concatenate(
         [jnp.ones((B, Dz), z_img.dtype), jnp.zeros((B, K), z_img.dtype)],
         axis=1)
-    v_img2txt = rbm_ops.conditional_gibbs(
-        joint, k_i2t, v_known, km, n_steps=steps, sample_h=False,
-        sample_v=False, groups=groups)
-    p_y_given_img = v_img2txt[:, Dz:]
-
     # --- TXT→IMG (imdbn.py:430-449)
     v_known2 = jnp.concatenate(
         [jnp.zeros((B, Dz), z_img.dtype), y_onehot], axis=1)
@@ -440,4 +455,4 @@ def joint_train_batch_step(joint: rbm_ops.RBMState, idbn_states, key: Array,
 _cross_reconstruct_jit = jax.jit(
     cross_reconstruct,
     static_argnames=("steps", "Dz", "groups", "use_free_energy",
-                     "best_of_k"))
+                     "best_of_k", "direction"))

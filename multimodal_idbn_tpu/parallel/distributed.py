@@ -31,8 +31,11 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
 
     On TPU pods all three arguments are auto-detected from the metadata
     server and may be omitted. Returns True if the distributed runtime is
-    active after the call, False when running single-process (initialize
-    raised because there is nothing to join — the common local case).
+    active after the call, False when auto-detect finds nothing to join
+    (the common local case). With an explicit ``coordinator_address``,
+    initialization failure raises — the caller asserted multi-process
+    membership, so silently degrading to a standalone run would diverge
+    from the rest of the job.
 
     With an EXPLICIT ``coordinator_address``, processes BLOCK until the
     whole job joins — that is the join protocol, not an error. Only pass
@@ -61,9 +64,21 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         jax.distributed.initialize(**kwargs)
         _initialized = True
     except Exception:
-        # Single-process run (no coordinator to detect/join, timeout, or
-        # an already-usable local backend): fall through — every mesh
-        # helper works on the process-local devices.
+        # Already-active runtime (e.g. another component initialized it):
+        # honor the "True if active after the call" contract.
+        try:
+            if jax.process_count() > 1:
+                _initialized = True
+                return True
+        except Exception:
+            pass
+        if coordinator_address is not None:
+            # Explicit args mean the caller asserted multi-process
+            # membership — misconfiguration must surface, not silently
+            # degrade into a standalone run that diverges from the job.
+            raise
+        # Auto-detect off-pod: single-process run, every mesh helper
+        # works on the process-local devices.
         return False
     return True
 

@@ -24,15 +24,29 @@ import numpy as np
 
 @contextlib.contextmanager
 def trace(log_dir: str = "/tmp/jax_trace", enabled: bool = True):
-    """``jax.profiler.trace`` wrapper (no-op when disabled/unsupported)."""
+    """``jax.profiler.trace`` wrapper (no-op when disabled/unsupported).
+
+    Only profiler start/stop failures are swallowed — exceptions raised by
+    the traced body propagate unchanged (a catch-all around the ``yield``
+    would re-yield and mask the body's exception with contextlib's
+    "generator didn't stop" RuntimeError)."""
     if not enabled:
         yield
         return
+    cm = None
     try:
-        with jax.profiler.trace(log_dir):
-            yield
+        cm = jax.profiler.trace(log_dir)
+        cm.__enter__()
     except Exception:
+        cm = None
+    try:
         yield
+    finally:
+        if cm is not None:
+            try:
+                cm.__exit__(None, None, None)
+            except Exception:
+                pass
 
 
 class StepTimer:
@@ -122,9 +136,14 @@ def measure_gibbs_steps_per_sec(num_visible: int = 532,
         sample_v=False, groups=tuple(tuple(g) for g in groups)))
     if warmup:
         jax.block_until_ready(run(jax.random.fold_in(key, 1)))
-    t0 = time.perf_counter()
-    jax.block_until_ready(run(jax.random.fold_in(key, 2)))
-    elapsed = time.perf_counter() - t0
+    # Median of several dispatches: single timed dispatches through the
+    # tunnel wobble several-fold run-to-run (CLAUDE.md measurement rule).
+    times = []
+    for rep in range(2, 5):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(jax.random.fold_in(key, rep)))
+        times.append(time.perf_counter() - t0)
+    elapsed = float(np.median(times))
     return {
         "chain_steps_per_sec": n_steps / elapsed,
         "cell_updates_per_sec": n_steps * batch_size * (num_visible

@@ -200,3 +200,42 @@ def test_img2txt_txt2img_convenience(model, loaders):
     onehot = np.eye(K, dtype=np.float32)[ids]
     rec_from_onehot = np.asarray(model.txt2img(onehot))
     assert rec_from_onehot.shape == rec_from_ids.shape
+
+
+def test_cross_reconstruct_direction_bit_parity(model, loaders):
+    """direction='img2txt'/'txt2img' skip half the chains but stay
+    bit-identical to the 'both' path (shared key split)."""
+    import jax
+    from multimodal_idbn_tpu.ops import imdbn_ops
+
+    _, val, _ = loaders
+    img, y = next(iter(val))
+    z = model.image_idbn.represent(img)
+    kk = jax.random.key(41)
+    kwargs = dict(steps=4, Dz=model.Dz_img,
+                  groups=tuple(tuple(g) for g in
+                               model.joint_rbm.softmax_groups),
+                  z_class_mean=model.z_class_mean)
+    states = model.image_idbn._states()
+    jr = model.joint_rbm.state
+    img_b, py_b = imdbn_ops.cross_reconstruct(jr, states, kk, z,
+                                              np.asarray(y), **kwargs)
+    ni, py_i = imdbn_ops.cross_reconstruct(jr, states, kk, z,
+                                           np.asarray(y),
+                                           direction="img2txt", **kwargs)
+    img_t, npy = imdbn_ops.cross_reconstruct(jr, states, kk, z,
+                                             np.asarray(y),
+                                             direction="txt2img", **kwargs)
+    assert ni is None and npy is None
+    np.testing.assert_array_equal(np.asarray(py_b), np.asarray(py_i))
+    np.testing.assert_array_equal(np.asarray(img_b), np.asarray(img_t))
+    with pytest.raises(ValueError):
+        imdbn_ops.cross_reconstruct(jr, states, kk, z, np.asarray(y),
+                                    direction="sideways", **kwargs)
+
+
+def test_txt2img_rejects_out_of_range_ids(model):
+    with pytest.raises(ValueError):
+        model.txt2img(np.array([-1]))
+    with pytest.raises((ValueError, IndexError)):
+        model.txt2img(np.array([K]))
