@@ -282,6 +282,12 @@ def test_blocked_joint_equals_per_epoch():
     for k in a.last_metrics:
         np.testing.assert_allclose(a.last_metrics[k], b.last_metrics[k],
                                    rtol=1e-6)
+    # the blocked path keeps per-epoch metric curves; the last entry must
+    # equal the final-epoch metrics, and one entry exists per epoch
+    hist = a.joint_metrics_history
+    assert [h["epoch"] for h in hist] == list(range(10))
+    for k, v in a.last_metrics.items():
+        np.testing.assert_allclose(hist[-1][k], v, rtol=1e-6)
 
 
 def test_blocked_bimodal_equals_per_epoch():
