@@ -27,9 +27,50 @@ BATCH = 128
 N_SAMPLES = 2048
 CD = 1
 
+# TPU v5e bf16 peak (XLA runs f32 matmuls at bf16 precision by default
+# here). Any measured epoch implying more than this is a tunnel artifact,
+# not a measurement — groups above peak are discarded (VERDICT r1 §weak 1).
+PEAK_FLOPS = 197e12
+PEAK_HBM = 819e9  # v5e HBM bandwidth, bytes/s
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def epoch_flops(layers=LAYERS, batch=BATCH, n=N_SAMPLES, cd=CD):
+    """Analytic GEMM FLOPs of one fused iDBN epoch (elementwise ignored).
+
+    Per layer per batch: pos hidden probs, pos association, cd×(visible
+    reconstruction + hidden probs), negative association, plus the
+    hidden_probs pass that feeds the next layer = (4 + 2*cd) GEMMs of
+    2*B*V*H FLOPs each (reference hot loop rbm.py:181-227).
+    """
+    nb = n // batch
+    total = 0.0
+    for v, h in zip(layers[:-1], layers[1:]):
+        total += (4 + 2 * cd) * 2.0 * batch * v * h
+    return total * nb
+
+
+def epoch_hbm_bytes(layers=LAYERS, batch=BATCH, n=N_SAMPLES, cd=CD):
+    """Analytic minimum HBM traffic of one fused epoch, f32.
+
+    At batch 128 the W-sized arrays dominate: per cd_update the GEMMs read
+    W (2 + cd) times and write the two V×H association matrices; the
+    momentum update reads W, W_m, pos, neg and writes W, W_m. Activations
+    (B×V / B×H) are negligible by comparison. This makes the flagship
+    epoch memory-bound, so HBM roofline (not MFU) is the speed-of-light
+    yardstick.
+    """
+    nb = n // batch
+    total = 0.0
+    for v, h in zip(layers[:-1], layers[1:]):
+        w = 4.0 * v * h  # f32 bytes of one W-sized array
+        gemm = (2 + cd) * w + 2 * w  # W reads + pos/neg assoc writes
+        update = 6 * w               # r: W, W_m, pos, neg; w: W, W_m
+        total += gemm + update
+    return total * nb
 
 
 def make_data(n=N_SAMPLES, v=LAYERS[0], seed=0):
@@ -60,24 +101,57 @@ def bench_jax():
     jax.block_until_ready(states)
     log(f"[bench] first epoch (compile): {time.perf_counter() - t0:.1f}s")
 
-    # Median over groups: per-dispatch tunnel jitter makes a single
-    # 5-epoch average wobble 1-3 ms run-to-run; the median of several
-    # groups is stable.
-    group, n_groups = 5, 5
+    # Median over groups: per-dispatch tunnel jitter makes small-group
+    # averages wobble run-to-run; ≥20 epochs/group amortizes the round
+    # trip and a host-side value fetch (not just block_until_ready, which
+    # can return early through the tunnel) forces true completion of the
+    # whole epoch chain (each epoch carries the previous one's states).
+    flops = epoch_flops()
+    hbm = epoch_hbm_bytes()
+    group, n_groups = 20, 5
     e = 1
+    # Warmup group: absorbs any residual compile/autotune work the first
+    # post-compile dispatches trigger (observed ~15 s on the first group).
+    for _ in range(3):
+        states, losses = epoch(states, e)
+        e += 1
+    float(losses[-1, -1])
     times = []
     for _ in range(n_groups):
         t0 = time.perf_counter()
         for _ in range(group):
             states, losses = epoch(states, e)
             e += 1
-        jax.block_until_ready(states)
+        final_loss = float(losses[-1, -1])  # device->host fetch = barrier
         times.append((time.perf_counter() - t0) / group)
-    dt = float(np.median(times))
-    log(f"[bench] steady-state epoch: {dt * 1000:.1f} ms median "
-        f"(groups: {[round(t * 1000, 1) for t in times]} ms, "
-        f"loss {float(losses.mean()):.4f})")
-    return dt
+    implied = [flops / t for t in times]
+    log(f"[bench] groups: {[round(t * 1000, 2) for t in times]} ms/epoch, "
+        f"implied {[round(f / 1e12, 1) for f in implied]} TFLOP/s "
+        f"(peak {PEAK_FLOPS / 1e12:.0f}), loss {final_loss:.4f}")
+    valid = [t for t in times if flops / t <= PEAK_FLOPS]
+    if valid:
+        dt = float(np.median(valid))
+        if len(valid) < len(times):
+            log(f"[bench] WARNING: discarded {len(times) - len(valid)} "
+                f"group(s) implying FLOP/s above chip peak "
+                f"(tunnel artifact)")
+    else:
+        dt = flops / PEAK_FLOPS
+        log("[bench] WARNING: every group implied FLOP/s above chip peak "
+            "— reporting the speed-of-light bound instead of an "
+            "impossible reading")
+    mfu = flops / dt / PEAK_FLOPS
+    hbm_util = hbm / dt / PEAK_HBM
+    log(f"[bench] steady-state epoch: {dt * 1000:.2f} ms median "
+        f"({flops / 1e9:.0f} GFLOP -> {flops / dt / 1e12:.1f} TFLOP/s, "
+        f"MFU {mfu:.0%}; ~{hbm / 1e9:.1f} GB -> {hbm / dt / 1e9:.0f} GB/s, "
+        f"HBM roofline {hbm_util:.0%} — memory-bound at batch {BATCH}; "
+        f"spread {min(times) * 1000:.2f}-{max(times) * 1000:.2f} ms)")
+    return dt, {"implied_tflops": round(flops / dt / 1e12, 1),
+                "mfu": round(mfu, 3),
+                "hbm_roofline": round(hbm_util, 3),
+                "spread_ms": [round(min(times) * 1000, 2),
+                              round(max(times) * 1000, 2)]}
 
 
 def bench_torch_cpu():
@@ -158,7 +232,7 @@ def bench_gibbs_chains():
 def main():
     # Primary metric first: a missing/broken torch must not prevent the
     # JSON line (torch is the optional baseline denominator, not a dep).
-    jax_epoch = bench_jax()
+    jax_epoch, extras = bench_jax()
     try:
         torch_epoch = bench_torch_cpu()
         vs_baseline = round(torch_epoch / jax_epoch, 2)
@@ -168,9 +242,10 @@ def main():
     bench_gibbs_chains()
     result = {
         "metric": "idbn_cd1_epoch_time_10000-1500-500_b128",
-        "value": round(jax_epoch, 4),
+        "value": round(jax_epoch, 5),
         "unit": "s",
         "vs_baseline": vs_baseline,
+        **extras,
     }
     print(json.dumps(result))
 

@@ -33,6 +33,10 @@ def main():
                     help="reduced epochs for smoke runs")
     ap.add_argument("--n-samples", type=int, default=2048)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--real-best-of-k", action="store_true",
+                    help="disable the reference's degenerate best-of-K "
+                         "selector (reference_best_of_k_bug=False): pick "
+                         "the TXT->IMG candidate by real free energy")
     args = ap.parse_args()
 
     import numpy as np
@@ -66,6 +70,9 @@ def main():
 
     model = iMDBN([10000, 1500, 500], 500, params=params, dataloader=train,
                   val_loader=val, num_labels=32, seed=args.seed)
+    if args.real_best_of_k:
+        model.reference_best_of_k_bug = False
+        log("[quality] real best-of-K free-energy selection ENABLED")
 
     log(f"[quality] training image iDBN ({epochs_img} epochs, CD=10)...")
     t0 = time.time()
@@ -104,7 +111,8 @@ def main():
     result = {
         "config": "flagship [10000,1500,500]+joint500 K=32 "
                   f"N={args.n_samples} seed={args.seed}"
-                  + (" (quick)" if args.quick else ""),
+                  + (" (quick)" if args.quick else "")
+                  + (" (real best-of-K)" if args.real_best_of_k else ""),
         "epochs_img": epochs_img,
         "epochs_joint": epochs_joint,
         "idbn_final_loss": model.image_idbn.loss_history[-1],

@@ -1,0 +1,322 @@
+"""Head-to-head quality: this rebuild vs the REAL reference torch code.
+
+Runs the actual reference package (/root/reference: iDBN.train at
+idbn.py:179, iMDBN.train_joint at imdbn.py:508) and this repo's iMDBN on
+the SAME synthetic numerosity dataset with an IDENTICAL scaled-down
+schedule, over multiple seeds, and reports the cross-modal quality
+distributions side by side (VERDICT r1 item 2: converts "oracle-pinned
+semantics" into measured output parity).
+
+Both sides see byte-identical train/val arrays (written to one npz by the
+driver); per-seed stochasticity (init + CD sampling + shuffle order) is
+each side's own RNG, so the comparison is distribution-vs-distribution.
+
+Usage:
+    python benchmarks/reference_head_to_head.py                  # 5 seeds
+    python benchmarks/reference_head_to_head.py --seeds 0 1 2    # subset
+    python benchmarks/reference_head_to_head.py --quick          # smoke
+
+Prints one JSON dict at the end; a markdown table on stderr.
+Internal roles (used by the driver via subprocess):
+    --role ref  --seed N --data D.npz   # reference torch side
+    --role ours --seed N --data D.npz   # this repo (forced CPU)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+REFERENCE = "/root/reference"
+sys.path.insert(0, str(REPO))
+
+# Identical schedule on both sides (scaled from the flagship so the torch
+# side finishes in minutes; ratios preserved: CD>1, warmup 8, aux clamps,
+# per-batch cross metrics).
+SCHEDULE = dict(side=40, num_classes=16, n_samples=1024, batch=128,
+                layers=(1600, 400, 128), joint_hidden=128,
+                epochs_img=30, epochs_joint=30, cd=3, joint_cd=3,
+                cross_steps=20, aux_cond_steps=10)
+QUICK = dict(SCHEDULE, n_samples=256, epochs_img=4, epochs_joint=10,
+             cross_steps=5, aux_cond_steps=3)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_params(s, seed):
+    return {
+        "LEARNING_RATE": 0.1, "WEIGHT_PENALTY": 1e-4,
+        "INIT_MOMENTUM": 0.5, "FINAL_MOMENTUM": 0.95,
+        "LEARNING_RATE_DYNAMIC": True, "CD": s["cd"],
+        "JOINT_CD": s["joint_cd"], "CROSS_GIBBS_STEPS": s["cross_steps"],
+        "JOINT_AUX_COND_STEPS": s["aux_cond_steps"], "SEED": seed,
+    }
+
+
+def build_dataset(s, path):
+    """One dataset for every run of both sides (data seed fixed at 0;
+    split seed 42 like the loader contract, SURVEY.md §2.3)."""
+    import numpy as np
+
+    from multimodal_idbn_tpu.data import (generate_numerosity_dataset,
+                                          train_val_test_split)
+
+    d = generate_numerosity_dataset(n_samples=s["n_samples"],
+                                    num_classes=s["num_classes"],
+                                    side=s["side"], seed=0)
+    tr, va, _ = train_val_test_split(s["n_samples"], val_size=0.15,
+                                     test_size=0.15, seed=42)
+    img = d["images"].reshape(len(d["images"]), -1).astype(np.float32)
+    y = d["onehot"].astype(np.float32)
+    np.savez(path, train_img=img[tr], train_y=y[tr],
+             val_img=img[va], val_y=y[va])
+    log(f"[h2h] dataset: train {len(tr)}, val {len(va)}, "
+        f"{img.shape[1]} pixels, {y.shape[1]} classes -> {path}")
+
+
+# --------------------------------------------------------------------------
+# Shared evaluation protocol (mirrors the reference's per-batch cross
+# metrics, imdbn.py:613-639, computed once on the val set after training).
+# --------------------------------------------------------------------------
+
+def eval_metrics_numpy(z, y, p_y, img_from_txt, img, rec):
+    import numpy as np
+
+    n, npix = img.shape
+    gt = y.argmax(1)
+    pred = p_y.argmax(1)
+    top1 = float((pred == gt).mean())
+    k = min(3, p_y.shape[1])
+    topk = np.argsort(-p_y, axis=1)[:, :k]
+    top3 = float((topk == gt[:, None]).any(1).mean())
+    p = np.clip(p_y, 1e-6, 1 - 1e-6)
+    onehot = np.eye(p_y.shape[1], dtype=np.float32)[gt]
+    ce = float(-(onehot * np.log(p)
+                 + (1 - onehot) * np.log(1 - p)).sum() / n)
+    image_mse = float(((img_from_txt - img) ** 2).sum() / (n * npix))
+    recon_mse = float(((np.clip(rec, 0, 1) - img) ** 2).mean())
+    return {"top1": round(top1, 4), "top3": round(top3, 4),
+            "ce": round(ce, 4), "image_mse": round(image_mse, 6),
+            "recon_mse": round(recon_mse, 6)}
+
+
+# --------------------------------------------------------------------------
+# Reference side (torch, real /root/reference code)
+# --------------------------------------------------------------------------
+
+def run_reference(s, seed, data_path):
+    # wandb/torchvision are not installed in this image; stub them (only
+    # diagnostics paths touch them, and wandb_run=None skips those).
+    import types
+    for name in ("wandb", "torchvision", "torchvision.utils"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    sys.modules["torchvision"].utils = sys.modules["torchvision.utils"]
+    sys.modules["torchvision.utils"].make_grid = lambda *a, **k: None
+    sys.modules["wandb"].Image = object
+    sys.path.insert(0, REFERENCE)
+
+    import numpy as np
+    import torch
+    from imdbn.models.imdbn import iMDBN as RefIMDBN
+
+    d = np.load(data_path)
+    torch.manual_seed(seed)
+    g = torch.Generator().manual_seed(seed)
+    train_ds = torch.utils.data.TensorDataset(
+        torch.from_numpy(d["train_img"]), torch.from_numpy(d["train_y"]))
+    val_ds = torch.utils.data.TensorDataset(
+        torch.from_numpy(d["val_img"]), torch.from_numpy(d["val_y"]))
+    train_loader = torch.utils.data.DataLoader(
+        train_ds, batch_size=s["batch"], shuffle=True, generator=g)
+    val_loader = torch.utils.data.DataLoader(val_ds,
+                                             batch_size=s["batch"])
+
+    model = RefIMDBN(list(s["layers"]), s["joint_hidden"],
+                     params=make_params(s, seed), dataloader=train_loader,
+                     val_loader=val_loader,
+                     device=torch.device("cpu"),
+                     num_labels=d["train_y"].shape[1])
+    t0 = time.time()
+    model.image_idbn.train(epochs=s["epochs_img"])
+    t_img = time.time() - t0
+    model.train_joint(epochs=s["epochs_joint"])
+    t_all = time.time() - t0
+    log(f"[h2h ref seed {seed}] trained in {t_all:.0f}s (img {t_img:.0f}s)")
+
+    zs, ys, ps, ifs, imgs, recs = [], [], [], [], [], []
+    with torch.no_grad():
+        for img, y in val_loader:
+            img = img.view(img.size(0), -1).float()
+            z = model.image_idbn.represent(img)
+            img_ft, p_y = model._cross_reconstruct(z, y.float())
+            rec = model.image_idbn.reconstruct(img)
+            zs.append(z.numpy()); ys.append(y.numpy())
+            ps.append(p_y.numpy()); ifs.append(img_ft.numpy())
+            imgs.append(img.numpy()); recs.append(rec.numpy())
+    import numpy as np
+    out = eval_metrics_numpy(np.concatenate(zs), np.concatenate(ys),
+                             np.concatenate(ps), np.concatenate(ifs),
+                             np.concatenate(imgs), np.concatenate(recs))
+    out["train_s"] = round(t_all, 1)
+    return out
+
+
+# --------------------------------------------------------------------------
+# This repo's side (forced CPU so seeds parallelize off the single TPU;
+# the jnp semantics are device-independent and the TPU path is covered by
+# bench.py + benchmarks/quality_multimodal.py)
+# --------------------------------------------------------------------------
+
+def run_ours(s, seed, data_path):
+    import jax
+    jax.config.update("jax_platforms", "cpu")  # before backend init
+
+    import numpy as np
+
+    from multimodal_idbn_tpu.data import (DataLoader, NumerosityDataset,
+                                          Subset)
+    from multimodal_idbn_tpu.models import iMDBN
+
+    d = np.load(data_path)
+
+    def to_ds(img, y):
+        n, npix = img.shape
+        side = int(round(npix ** 0.5))
+        labels = y.argmax(1).astype(np.float32) + 1
+        return NumerosityDataset(img.reshape(n, side, side), labels, y,
+                                 img.sum(1), np.maximum(img.sum(1), 1.0))
+
+    tr = to_ds(d["train_img"], d["train_y"])
+    va = to_ds(d["val_img"], d["val_y"])
+    train_loader = DataLoader(Subset(tr, np.arange(len(tr.labels))),
+                              batch_size=s["batch"], shuffle=True,
+                              seed=seed)
+    val_loader = DataLoader(Subset(va, np.arange(len(va.labels))),
+                            batch_size=s["batch"])
+
+    model = iMDBN(list(s["layers"]), s["joint_hidden"],
+                  params=make_params(s, seed), dataloader=train_loader,
+                  val_loader=val_loader, num_labels=d["train_y"].shape[1],
+                  seed=seed)
+    t0 = time.time()
+    model.image_idbn.train(epochs=s["epochs_img"])
+    t_img = time.time() - t0
+    model.train_joint(epochs=s["epochs_joint"])
+    t_all = time.time() - t0
+    log(f"[h2h ours seed {seed}] trained in {t_all:.0f}s (img {t_img:.0f}s)")
+
+    zs, ys, ps, ifs, imgs, recs = [], [], [], [], [], []
+    for img, y in val_loader:
+        img = np.asarray(img, np.float32).reshape(len(img), -1)
+        z = np.asarray(model.image_idbn.represent(img))
+        img_ft, p_y = model._cross_reconstruct(z, np.asarray(y))
+        rec = np.asarray(model.image_idbn.reconstruct(img))
+        zs.append(z); ys.append(np.asarray(y))
+        ps.append(np.asarray(p_y)); ifs.append(np.asarray(img_ft))
+        imgs.append(img); recs.append(rec)
+    out = eval_metrics_numpy(np.concatenate(zs), np.concatenate(ys),
+                             np.concatenate(ps), np.concatenate(ifs),
+                             np.concatenate(imgs), np.concatenate(recs))
+    out["train_s"] = round(t_all, 1)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Driver: fan the per-seed runs out as parallel subprocesses
+# --------------------------------------------------------------------------
+
+def _spawn(role, seed, data_path, quick, outdir):
+    args = [sys.executable, __file__, "--role", role, "--seed", str(seed),
+            "--data", str(data_path)]
+    if quick:
+        args.append("--quick")
+    out = open(os.path.join(outdir, f"{role}_{seed}.log"), "w")
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache")
+    return subprocess.Popen(args, stdout=subprocess.PIPE, stderr=out,
+                            cwd=outdir, env=env, text=True)
+
+
+def summarize(vals):
+    import numpy as np
+    v = np.asarray(vals, np.float64)
+    return f"{np.median(v):.3f} [{v.min():.3f}-{v.max():.3f}]"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--role", choices=["driver", "ref", "ours"],
+                    default="driver")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--seeds", type=int, nargs="*",
+                    default=[0, 1, 2, 3, 4])
+    ap.add_argument("--data", type=str, default=None)
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--jobs", type=int, default=5,
+                    help="max concurrent subprocesses")
+    args = ap.parse_args()
+    s = QUICK if args.quick else SCHEDULE
+
+    if args.role != "driver":
+        fn = run_reference if args.role == "ref" else run_ours
+        print(json.dumps(fn(s, args.seed, args.data)))
+        return
+
+    import tempfile
+    outdir = tempfile.mkdtemp(prefix="h2h_")
+    data_path = os.path.join(outdir, "dataset.npz")
+    build_dataset(s, data_path)
+
+    jobs = [(role, seed) for seed in args.seeds
+            for role in ("ref", "ours")]
+    results = {"ref": {}, "ours": {}}
+    pending = list(jobs)
+    running = []
+    while pending or running:
+        while pending and len(running) < args.jobs:
+            role, seed = pending.pop(0)
+            log(f"[h2h] launching {role} seed {seed}")
+            running.append((role, seed,
+                            _spawn(role, seed, data_path, args.quick,
+                                   outdir)))
+        for role, seed, proc in running[:]:
+            if proc.poll() is not None:
+                running.remove((role, seed, proc))
+                out = proc.stdout.read().strip()
+                if proc.returncode != 0 or not out:
+                    log(f"[h2h] {role} seed {seed} FAILED rc="
+                        f"{proc.returncode} (log in {outdir})")
+                    results[role][seed] = None
+                else:
+                    results[role][seed] = json.loads(out.splitlines()[-1])
+                    log(f"[h2h] {role} seed {seed}: "
+                        f"{results[role][seed]}")
+        time.sleep(2)
+
+    table = {}
+    for metric in ("top1", "top3", "ce", "image_mse", "recon_mse"):
+        for role in ("ref", "ours"):
+            vals = [r[metric] for r in results[role].values() if r]
+            if vals:
+                table[f"{role}_{metric}"] = summarize(vals)
+    log("\n| metric | reference (torch) | rebuild (jax) |")
+    log("|---|---|---|")
+    for metric in ("top1", "top3", "ce", "image_mse", "recon_mse"):
+        log(f"| {metric} | {table.get('ref_' + metric, '-')} | "
+            f"{table.get('ours_' + metric, '-')} |")
+    print(json.dumps({"schedule": s, "seeds": args.seeds,
+                      "ref": results["ref"], "ours": results["ours"],
+                      "summary": table}))
+
+
+if __name__ == "__main__":
+    main()

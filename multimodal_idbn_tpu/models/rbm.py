@@ -309,11 +309,33 @@ class RBM:
     def conditional_gibbs(self, v_known, known_mask, n_steps: int = 30,
                           sample_h: bool = False,
                           sample_v: bool = False) -> Array:
-        """Plain conditional Gibbs chain (reference rbm.py:369-400)."""
+        """Plain conditional Gibbs chain (reference rbm.py:369-400).
+
+        With ``config.enable_pallas_chain(True)`` the mean-field case
+        (sample_h=sample_v=False) runs the VMEM-chain Pallas kernel when
+        the shape fits (bit-comparable semantics: same init stream,
+        deterministic chain); otherwise the jnp scan path.
+        """
+        v_known = as_array(v_known)
+        if (not sample_h and not sample_v
+                and self._pallas_chain_ok(v_known.shape[0])):
+            from multimodal_idbn_tpu.ops import pallas_chain
+            return pallas_chain.conditional_gibbs_fast(
+                self._state, self._next_key(), v_known,
+                as_array(known_mask), n_steps=int(n_steps),
+                groups=self._groups())
         return _conditional_gibbs(
-            self._state, self._next_key(), as_array(v_known),
+            self._state, self._next_key(), v_known,
             as_array(known_mask), n_steps=int(n_steps), sample_h=sample_h,
             sample_v=sample_v, groups=self._groups())
+
+    def _pallas_chain_ok(self, batch: int) -> bool:
+        from multimodal_idbn_tpu import config as _config
+        if not _config.pallas_chain_enabled():
+            return False
+        from multimodal_idbn_tpu.ops import pallas_chain
+        return pallas_chain.chain_kernel_supported(
+            int(batch), self.num_visible, self.num_hidden)
 
     def conditional_gibbs_annealed(self, v_known, known_mask,
                                    n_steps: int = 40, T0: float = 2.5,
@@ -342,8 +364,19 @@ class RBM:
         mu = self._mu_pull
         mu_k = None if mu is None else as_array(mu["mu_k"])
         eta0 = 0.15 if mu is None else float(mu.get("eta0", 0.15))
+        v_known = as_array(v_known)
+        if self._pallas_chain_ok(v_known.shape[0]):
+            # Distributional parity: same schedules, Gaussian logit noise
+            # from the on-core PRNG instead of the threefry stream.
+            from multimodal_idbn_tpu.ops import pallas_chain
+            return pallas_chain.noisy_meanfield_fast(
+                self._state, self._next_key(), v_known,
+                as_array(known_mask), n_steps=int(n_steps), T0=T0, T1=T1,
+                sigma0=float(sigma0), sharpen_last=int(sharpen_last),
+                T_cold_plus=T_cold_plus, mu_k=mu_k, eta0=eta0,
+                groups=self._groups())
         return _noisy_meanfield_annealed(
-            self._state, self._next_key(), as_array(v_known),
+            self._state, self._next_key(), v_known,
             as_array(known_mask), n_steps=int(n_steps), T0=T0, T1=T1,
             sigma0=float(sigma0), hot_frac=float(hot_frac),
             sharpen_last=int(sharpen_last), T_cold_plus=T_cold_plus,

@@ -32,6 +32,11 @@ jax.config.update("jax_threefry_partitionable", True)
 
 Array = jax.Array
 
+# Jitted CD update used by the DP path. Jitted here (not borrowed from the
+# models/ shells) so the dependency direction stays ops ← parallel.
+_cd_update_jit = jax.jit(rbm_ops.cd_update,
+                         static_argnames=("cd", "sparsity", "groups"))
+
 
 def make_mesh(n_devices: Optional[int] = None,
               axis_name: str = "data") -> Mesh:
@@ -115,10 +120,10 @@ def dp_cd_update(mesh: Mesh, state: rbm_ops.RBMState, key: Array,
     """
     data = shard_batch(mesh, data, dtype=jnp.float32)
     state = replicate(mesh, state)
-    from multimodal_idbn_tpu.models.rbm import _cd_update
-    return _cd_update(state, key, data, lr=lr, mom=mom,
-                      weight_decay=weight_decay, cd=cd, sparsity=sparsity,
-                      sparsity_factor=sparsity_factor, groups=groups)
+    return _cd_update_jit(state, key, data, lr=lr, mom=mom,
+                          weight_decay=weight_decay, cd=cd,
+                          sparsity=sparsity,
+                          sparsity_factor=sparsity_factor, groups=groups)
 
 
 def dp_idbn_epoch(mesh: Mesh, states, key: Array, data, lr, mom,

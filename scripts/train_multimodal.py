@@ -105,6 +105,13 @@ def main():
     args = parse_args()
     cfg = load_config(args.config)
 
+    # Framework extension (off by default): route mean-field conditional
+    # inference through the Pallas VMEM-chain kernels when shapes fit.
+    if cfg.get("training", {}).get("use_pallas_chain", False):
+        from multimodal_idbn_tpu import config as fw_config
+        fw_config.enable_pallas_chain(True)
+        print("[train_multimodal] pallas chain kernels enabled")
+
     dataset = cfg.get("dataset", {})
     model = cfg.get("model", {})
     params = build_params(cfg)

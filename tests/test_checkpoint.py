@@ -244,3 +244,160 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     load_checkpoint_orbax(rbm2, p)
     np.testing.assert_array_equal(np.asarray(rbm.W), np.asarray(rbm2.W))
     np.testing.assert_array_equal(np.asarray(rbm.hb_m), np.asarray(rbm2.hb_m))
+
+
+# ------- consumer-side round trips against the REAL reference package ------
+# (VERDICT r1 item 5: prove the downstream-compat claim with the actual
+# /root/reference code, not just this repo's shims.)
+
+import json as _json
+import os as _os
+import subprocess as _subprocess
+
+_REFERENCE = "/root/reference"
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+
+# The reference imports wandb + torchvision at module level; neither is in
+# this image (SURVEY.md env notes), so consumer subprocesses stub them with
+# empty modules before importing imdbn (the stubs are only touched by
+# diagnostics paths these tests never call).
+_STUB_PRELUDE = """
+import sys, types
+for _name in ('wandb', 'torchvision', 'torchvision.utils'):
+    if _name not in sys.modules:
+        sys.modules[_name] = types.ModuleType(_name)
+sys.modules['torchvision'].utils = sys.modules['torchvision.utils']
+sys.modules['torchvision.utils'].make_grid = lambda *a, **k: None
+sys.modules['wandb'].Image = object
+sys.modules['wandb'].log = lambda *a, **k: None
+"""
+
+
+def _run_py(script: str, cwd: str) -> dict:
+    """Run a python snippet in a clean subprocess (so the real reference
+    package + its sys.modules alias pollution never touch this process);
+    the snippet must print one JSON line on its last stdout line."""
+    env = dict(_os.environ, JAX_PLATFORMS="cpu")
+    proc = _subprocess.run([sys.executable, "-c", script], cwd=cwd,
+                           env=env, capture_output=True, text=True,
+                           timeout=600)
+    assert proc.returncode == 0, f"subprocess failed:\n{proc.stderr[-3000:]}"
+    return _json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+@pytest.mark.skipif(not _os.path.isdir(_REFERENCE),
+                    reason="reference tree not present")
+def test_export_loads_in_real_reference_consumer(tmp_path, imdbn_model):
+    """export_reference_pickle output unpickles in a process with the REAL
+    reference package imported (its imdbn/models/__init__.py:12-35 alias
+    machinery active), drives forward/backward/visible_probs on the loaded
+    layers, and matches the reference's own torch RBM math on the same
+    weights (INTEGRATION_PROMPT.md:90-247 adapter contract)."""
+    p = str(tmp_path / "export_for_ref.pkl")
+    export_reference_pickle(imdbn_model, p)
+
+    script = _STUB_PRELUDE + f"""
+import json, pickle, sys
+sys.path.insert(0, {_REFERENCE!r})
+sys.path.insert(0, {_REPO!r})
+import numpy as np
+import torch
+import imdbn.models as ref_models  # real package: alias machinery active
+assert 'src.classes.rbm_model' in sys.modules  # aliases really installed
+
+with open({p!r}, 'rb') as f:
+    payload = pickle.load(f)
+
+layers = payload['layers']
+joint = payload['joint_rbm']
+dbn = payload['image_idbn']
+rng = np.random.RandomState(0)
+
+# DBNAdapter-style use: represent through the image stack, then joint.
+x = rng.rand(3, layers[0].num_visible).astype(np.float32)
+z = dbn.represent(x)
+vj = rng.rand(3, joint.num_visible).astype(np.float32)
+h = joint.forward(vj)
+v_back = joint.backward(h)
+vp = joint.visible_probs(h)
+
+# Same weights into the REFERENCE's own torch RBM -> same outputs.
+r = ref_models.RBM(joint.num_visible, joint.num_hidden, 0.1, 1e-4, 0.5,
+                   softmax_groups=[tuple(g) for g in joint.softmax_groups])
+with torch.no_grad():
+    r.W.copy_(torch.from_numpy(joint.W))
+    r.hid_bias.copy_(torch.from_numpy(joint.hid_bias))
+    r.vis_bias.copy_(torch.from_numpy(joint.vis_bias))
+h_ref = r.forward(torch.from_numpy(vj)).detach().numpy()
+vp_ref = r.visible_probs(torch.from_numpy(h)).detach().numpy()
+bk_ref = r.backward(torch.from_numpy(h)).detach().numpy()
+
+print(json.dumps({{
+    'z_shape': list(np.asarray(z).shape),
+    'h_max_diff': float(np.abs(h - h_ref).max()),
+    'vp_max_diff': float(np.abs(vp - vp_ref).max()),
+    'bk_max_diff': float(np.abs(v_back - bk_ref).max()),
+    'label_block_sums': float(np.abs(
+        vp[:, {int(imdbn_model.Dz_img)}:].sum(1) - 1.0).max()),
+}}))
+"""
+    out = _run_py(script, cwd=str(tmp_path))
+    assert out["z_shape"] == [3, 16]
+    assert out["h_max_diff"] < 1e-5
+    assert out["vp_max_diff"] < 1e-5
+    assert out["bk_max_diff"] < 1e-5
+    assert out["label_block_sums"] < 1e-5
+
+
+@pytest.mark.skipif(not _os.path.isdir(_REFERENCE),
+                    reason="reference tree not present")
+def test_real_reference_save_imports_here(tmp_path):
+    """A pickle written by the REAL reference classes (torch nn.Module RBMs
+    in the dual-format dict of gdbn_model_complete.py:1237-1307) imports
+    through import_reference_pickle and reproduces the reference's forward
+    outputs."""
+    pkl = str(tmp_path / "ref_saved.pkl")
+    xf = str(tmp_path / "x.npy")
+    hf = str(tmp_path / "h.npy")
+    vf = str(tmp_path / "vp.npy")
+
+    script = _STUB_PRELUDE + f"""
+import json, pickle, sys
+sys.path.insert(0, {_REFERENCE!r})
+import numpy as np
+import torch
+from imdbn.models import RBM, iDBN
+torch.manual_seed(0)
+r1 = RBM(36, 16, 0.1, 1e-4, 0.5)
+r2 = RBM(16, 8, 0.2, 1e-4, 0.5, softmax_groups=[(4, 8)])
+# exactly the reference iDBN.save_model payload (gdbn_model_complete.py:566)
+with open({pkl!r}, 'wb') as f:
+    pickle.dump({{'layers': [r1, r2], 'params': {{'CD': 3}}}}, f)
+x = np.random.RandomState(1).rand(5, 36).astype(np.float32)
+with torch.no_grad():
+    h = r1.forward(torch.from_numpy(x)).numpy()
+    vp = r2.visible_probs(r2.forward(torch.from_numpy(
+        np.random.RandomState(2).rand(5, 16).astype(np.float32)))).numpy()
+np.save({xf!r}, x); np.save({hf!r}, h); np.save({vf!r}, vp)
+print(json.dumps({{'W0': float(r1.W.detach().numpy().sum())}}))
+"""
+    out = _run_py(script, cwd=str(tmp_path))
+
+    payload = import_reference_pickle(pkl)
+    assert payload["params"]["CD"] == 3
+    layers = payload["layers"]
+    assert isinstance(layers[0], RBM) and isinstance(layers[1], RBM)
+    assert layers[1].softmax_groups == [(4, 8)]
+    assert layers[1].lr == 0.2
+    np.testing.assert_allclose(float(np.asarray(layers[0].W).sum()),
+                               out["W0"], rtol=1e-5)
+    x = np.load(xf)
+    h_ref = np.load(hf)
+    vp_ref = np.load(vf)
+    h = np.asarray(layers[0].forward(x))
+    np.testing.assert_allclose(h, h_ref, atol=2e-5)
+    vp = np.asarray(layers[1].visible_probs(layers[1].forward(
+        np.random.RandomState(2).rand(5, 16).astype(np.float32))))
+    np.testing.assert_allclose(vp, vp_ref, atol=2e-5)
+    # the (4, 8) softmax group really normalizes
+    np.testing.assert_allclose(vp[:, 4:8].sum(1), 1.0, atol=1e-5)

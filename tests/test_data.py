@@ -140,3 +140,95 @@ def test_empty_subset_gather_and_materialize():
     assert all(len(a) == 0 for a in out)
     X, Y = DataLoader(sub, batch_size=4).materialize()
     assert X.shape[0] == 0 and Y.shape[0] == 0
+
+
+# -- real-npz path (reference scripts/train_multimodal.py:96-102 loads
+# {data_path}/{data_name}.npz; key detection in data/__init__.py) ----------
+
+
+def _write_stimuli_npz(path, n=48, side=20, seed=0, img_key="images",
+                       lbl_key="labels", flat=False, extra=None):
+    rng = np.random.RandomState(seed)
+    labels = rng.randint(1, 6, n).astype(np.int64)
+    images = (rng.rand(n, side, side) < 0.1).astype(np.float32)
+    arrays = {img_key: images.reshape(n, -1) if flat else images,
+              lbl_key: labels}
+    if extra:
+        arrays.update(extra)
+    np.savez(path, **arrays)
+    return images, labels
+
+
+def test_npz_uniform_canonical_keys(tmp_path):
+    images, labels = _write_stimuli_npz(
+        tmp_path / "stimuli_dataset.npz",
+        extra={"cumArea": np.arange(48, dtype=np.float32) + 1.0,
+               "CH": np.full(48, 2.0, np.float32),
+               "density": np.full(48, 0.1, np.float32),
+               "N_dots": np.arange(48, dtype=np.float32)})
+    train, val, test = create_dataloaders_uniform(
+        data_path=str(tmp_path), data_name="stimuli_dataset.npz",
+        batch_size=8, seed=0)
+    base = val.dataset.dataset
+    assert len(base.labels) == 48
+    np.testing.assert_array_equal(np.sort(np.unique(base.labels)),
+                                  np.sort(np.unique(labels)))
+    # geometry taken from the file, not recomputed
+    np.testing.assert_allclose(np.sort(base.cumArea_list),
+                               np.arange(48) + 1.0)
+    assert base.density_list is not None
+    img, y = next(iter(train))
+    assert img.shape == (8, 20, 20)
+    # onehot width = number of distinct label values in the file
+    assert y.shape == (8, len(np.unique(labels)))
+    # all three splits partition the file
+    assert len(train.dataset) + len(val.dataset) + len(test.dataset) == 48
+
+
+def test_npz_variant_keys_flat_images_and_name_without_ext(tmp_path):
+    """Key aliases (stimuli/numerosity) + flattened images reshaped to
+    square + data_name given without the .npz extension."""
+    images, labels = _write_stimuli_npz(
+        tmp_path / "stims.npz", side=16, img_key="stimuli",
+        lbl_key="numerosity", flat=True)
+    train, val, _ = create_dataloaders_zipfian(
+        data_path=str(tmp_path), data_name="stims", batch_size=8, seed=0)
+    img, _ = next(iter(train))
+    assert img.shape == (8, 16, 16)
+    base = val.dataset.dataset
+    # flattened images were reshaped back to (n, 16, 16)
+    assert base.images.shape == (48, 16, 16)
+    # cumArea falls back to per-image pixel sums when absent from the file
+    np.testing.assert_allclose(
+        np.sort(base.cumArea_list),
+        np.sort(images.reshape(48, -1).sum(1)), rtol=1e-6)
+
+
+def test_npz_missing_keys_raises(tmp_path):
+    np.savez(tmp_path / "bad.npz",
+             foo=np.zeros((4, 4)), bar=np.zeros(4))
+    try:
+        create_dataloaders_uniform(data_path=str(tmp_path),
+                                   data_name="bad.npz", batch_size=2)
+        raise AssertionError("expected KeyError for unknown npz keys")
+    except KeyError as e:
+        assert "bad.npz" in str(e)
+
+
+def test_npz_mnist100_second_modality(tmp_path):
+    """Bimodal: first modality from stimuli npz, second from an mnist100
+    npz (28x56 glyph images aligned by sample)."""
+    _write_stimuli_npz(tmp_path / "stimuli_dataset.npz", n=40, side=20)
+    rng = np.random.RandomState(1)
+    mod2 = (rng.rand(40, 28, 56) < 0.2).astype(np.float32)
+    np.savez(tmp_path / "mnist100.npz", images=mod2,
+             labels=np.arange(40))
+    train, _, _ = create_dataloaders_uniform(
+        data_path=str(tmp_path), data_name="stimuli_dataset.npz",
+        mnist100_path=str(tmp_path / "mnist100.npz"),
+        second_modality="mnist100", batch_size=8, seed=0)
+    m1, m2 = next(iter(train))
+    assert m1.shape == (8, 20, 20)
+    assert m2.shape == (8, 28, 56)
+    # mod2 rows come from the file (match some row of the saved array)
+    assert any(np.array_equal(m2[0], mod2[i]) for i in range(40))
