@@ -53,23 +53,25 @@ def epoch_flops(layers=LAYERS, batch=BATCH, n=N_SAMPLES, cd=CD):
     return total * nb
 
 
-def epoch_hbm_bytes(layers=LAYERS, batch=BATCH, n=N_SAMPLES, cd=CD):
-    """Analytic minimum HBM traffic of one fused epoch, f32.
+def epoch_hbm_bytes(layers=LAYERS, batch=BATCH, n=N_SAMPLES, cd=CD,
+                    bytes_per_el=4.0):
+    """Estimated HBM traffic of one fused epoch (W-sized arrays only).
 
-    At batch 128 the W-sized arrays dominate: per cd_update the GEMMs read
-    W (2 + cd) times and write the two V×H association matrices; the
-    momentum update reads W, W_m, pos, neg and writes W, W_m. Activations
-    (B×V / B×H) are negligible by comparison. This makes the flagship
-    epoch memory-bound, so HBM roofline (not MFU) is the speed-of-light
-    yardstick.
+    At batch 128 the W-sized arrays dominate: per cd_update the GEMMs
+    read W (2 + cd) times and produce the two V×H association matrices,
+    and the momentum update reads W + W_m and writes W + W_m. Assuming
+    XLA fuses each association GEMM's output straight into the update
+    epilogue (it reads them once: +2 reads, no extra writes), that is
+    (2 + cd) + 2 + 4 = 8 + cd W-sized transfers per layer per batch.
+    Activations (B×V / B×H) are negligible by comparison. An ESTIMATE —
+    fusion can save or add a transfer — but it makes the point that the
+    epoch is memory-bound, so HBM roofline (not MFU) is the
+    speed-of-light yardstick.
     """
     nb = n // batch
     total = 0.0
     for v, h in zip(layers[:-1], layers[1:]):
-        w = 4.0 * v * h  # f32 bytes of one W-sized array
-        gemm = (2 + cd) * w + 2 * w  # W reads + pos/neg assoc writes
-        update = 6 * w               # r: W, W_m, pos, neg; w: W, W_m
-        total += gemm + update
+        total += (8 + cd) * bytes_per_el * v * h
     return total * nb
 
 
@@ -140,6 +142,37 @@ def bench_jax():
         log("[bench] WARNING: every group implied FLOP/s above chip peak "
             "— reporting the speed-of-light bound instead of an "
             "impossible reading")
+    # Opt-in bf16 storage (halves the W-traffic the epoch is bound on).
+    bf16_dt = None
+    try:
+        states16 = tuple(
+            rbm_ops.init_rbm_state(keys[i], LAYERS[i], LAYERS[i + 1],
+                                   dtype=jnp.bfloat16)
+            for i in range(len(LAYERS) - 1))
+        t0 = time.perf_counter()
+        states16, l16 = epoch(states16, 0)
+        float(l16[-1, -1])
+        log(f"[bench] bf16 first epoch (compile): "
+            f"{time.perf_counter() - t0:.1f}s")
+        times16 = []
+        e16 = 1
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(group):
+                states16, l16 = epoch(states16, e16)
+                e16 += 1
+            f16_loss = float(l16[-1, -1])
+            times16.append((time.perf_counter() - t0) / group)
+        v16 = [t for t in times16 if flops / t <= PEAK_FLOPS]
+        if v16:
+            bf16_dt = float(np.median(v16))
+            log(f"[bench] bf16 epoch: {bf16_dt * 1000:.2f} ms median "
+                f"({hbm / 2 / bf16_dt / 1e9:.0f} GB/s eff, loss "
+                f"{f16_loss:.4f}; groups "
+                f"{[round(t * 1000, 2) for t in times16]} ms)")
+    except Exception as exc:  # pragma: no cover - optional path
+        log(f"[bench] bf16 variant unavailable: {exc}")
+
     mfu = flops / dt / PEAK_FLOPS
     hbm_util = hbm / dt / PEAK_HBM
     log(f"[bench] steady-state epoch: {dt * 1000:.2f} ms median "
@@ -147,11 +180,14 @@ def bench_jax():
         f"MFU {mfu:.0%}; ~{hbm / 1e9:.1f} GB -> {hbm / dt / 1e9:.0f} GB/s, "
         f"HBM roofline {hbm_util:.0%} — memory-bound at batch {BATCH}; "
         f"spread {min(times) * 1000:.2f}-{max(times) * 1000:.2f} ms)")
-    return dt, {"implied_tflops": round(flops / dt / 1e12, 1),
-                "mfu": round(mfu, 3),
-                "hbm_roofline": round(hbm_util, 3),
-                "spread_ms": [round(min(times) * 1000, 2),
-                              round(max(times) * 1000, 2)]}
+    extras = {"implied_tflops": round(flops / dt / 1e12, 1),
+              "mfu": round(mfu, 3),
+              "hbm_roofline": round(hbm_util, 3),
+              "spread_ms": [round(min(times) * 1000, 2),
+                            round(max(times) * 1000, 2)]}
+    if bf16_dt is not None:
+        extras["bf16_epoch_s"] = round(bf16_dt, 5)
+    return dt, extras
 
 
 def bench_torch_cpu():

@@ -33,6 +33,9 @@ def main():
                     help="reduced epochs for smoke runs")
     ap.add_argument("--n-samples", type=int, default=2048)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--init-retry", action="store_true",
+                    help="use iDBN.train_with_retry: reinit + retrain if "
+                         "the image stack collapses to blank-level recon")
     ap.add_argument("--real-best-of-k", action="store_true",
                     help="disable the reference's degenerate best-of-K "
                          "selector (reference_best_of_k_bug=False): pick "
@@ -76,8 +79,13 @@ def main():
 
     log(f"[quality] training image iDBN ({epochs_img} epochs, CD=10)...")
     t0 = time.time()
-    model.image_idbn.train(epochs=epochs_img, log_every_pca=10**9,
-                           log_every_probe=10**9)
+    retries = 0
+    if args.init_retry:
+        retries = model.image_idbn.train_with_retry(
+            epochs=epochs_img, log_every_pca=10**9, log_every_probe=10**9)
+    else:
+        model.image_idbn.train(epochs=epochs_img, log_every_pca=10**9,
+                               log_every_probe=10**9)
     t_img = time.time() - t0
     log(f"[quality] image iDBN: {t_img:.1f}s "
         f"(final loss {model.image_idbn.loss_history[-1]:.4f})")
@@ -112,7 +120,9 @@ def main():
         "config": "flagship [10000,1500,500]+joint500 K=32 "
                   f"N={args.n_samples} seed={args.seed}"
                   + (" (quick)" if args.quick else "")
-                  + (" (real best-of-K)" if args.real_best_of_k else ""),
+                  + (" (real best-of-K)" if args.real_best_of_k else "")
+                  + (f" (init-retry x{retries})" if args.init_retry
+                     else ""),
         "epochs_img": epochs_img,
         "epochs_joint": epochs_joint,
         "idbn_final_loss": model.image_idbn.loss_history[-1],

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from multimodal_idbn_tpu.models.rbm import RBM, as_array
+from multimodal_idbn_tpu.models.rbm import RBM, as_array, param_dtype
 from multimodal_idbn_tpu.ops import dbn_train
 
 
@@ -102,6 +102,11 @@ class iDBN:
             pass
 
         # Build RBM layers (sparsity only on the top layer, idbn.py:149-161).
+        # params["DTYPE"]="bfloat16" opts into reduced-precision storage
+        # (framework extension; default float32 = reference semantics).
+        dtype = param_dtype(self.params)
+        self._layer_sizes = list(layer_sizes)
+        self._init_seed = seed
         for i in range(len(layer_sizes) - 1):
             rbm = RBM(
                 num_visible=layer_sizes[i],
@@ -114,6 +119,7 @@ class iDBN:
                 sparsity=(self.sparsity_last and i == len(layer_sizes) - 2),
                 sparsity_factor=self.sparsity_factor,
                 seed=None if seed is None else seed + i,
+                dtype=dtype,
             )
             self.layers.append(rbm)
 
@@ -253,6 +259,58 @@ class iDBN:
 
             self._log_epoch(epoch, mean_loss, log_every_pca, log_every_probe)
         self.epoch_timer = timer
+
+    def reinit_layers(self, seed_offset: int = 0) -> None:
+        """Re-draw all layer parameters (fresh W ~ N/sqrt(V), zero biases
+        and momentum) with a derived seed. Loss history is kept."""
+        base = self._init_seed
+        dtype = param_dtype(self.params)
+        for i, rbm in enumerate(self.layers):
+            self.layers[i] = RBM(
+                num_visible=rbm.num_visible, num_hidden=rbm.num_hidden,
+                learning_rate=rbm.lr, weight_decay=rbm.weight_decay,
+                momentum=rbm.momentum, dynamic_lr=rbm.dynamic_lr,
+                final_momentum=rbm.final_momentum, sparsity=rbm.sparsity,
+                sparsity_factor=rbm.sparsity_factor,
+                softmax_groups=rbm.softmax_groups,
+                seed=None if base is None else base + i + seed_offset,
+                dtype=dtype)
+
+    def train_with_retry(self, epochs: int, max_retries: int = 2,
+                         recon_margin: float = 0.9, **train_kw) -> int:
+        """Opt-in mitigation for CD initialization collapse (framework
+        extension; benchmarks/RESULTS.md round 2: collapsed seeds train
+        the image stack to blank-level reconstruction, MSE ≈ mean(x²),
+        and the joint stage inherits it — no downstream flag can rescue
+        that; measured ratios to the blank baseline mean(x²): collapsed
+        0.96, healthy ≤0.71, so 0.9 separates them). Train normally; if
+        the val-batch auto-recon MSE is not below ``recon_margin`` × the
+        blank-reconstruction baseline,
+        re-initialize with a derived seed and retrain, at most
+        ``max_retries`` times. Returns the number of retries used.
+        Plain ``train()`` never retries (reference semantics unchanged).
+        """
+        vb = None
+        if self.val_batch is not None:
+            vb = as_array(self.val_batch)
+
+        def collapsed() -> bool:
+            if vb is None:
+                return False
+            rec = jnp.clip(self.reconstruct(vb), 0, 1)
+            mse = float(jnp.mean((vb - rec) ** 2))
+            blank = float(jnp.mean(vb * vb))
+            return mse >= recon_margin * blank
+
+        self.train(epochs, **train_kw)
+        retries = 0
+        while retries < int(max_retries) and collapsed():
+            retries += 1
+            print(f"[iDBN] recon at blank level — reinit (retry "
+                  f"{retries}/{max_retries})")
+            self.reinit_layers(seed_offset=7919 * retries)
+            self.train(epochs, **train_kw)
+        return retries
 
     def _log_epoch(self, epoch: int, mean_loss: float, log_every_pca: int,
                    log_every_probe: int) -> None:

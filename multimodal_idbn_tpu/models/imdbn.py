@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from multimodal_idbn_tpu.models.idbn import iDBN
-from multimodal_idbn_tpu.models.rbm import RBM, as_array
+from multimodal_idbn_tpu.models.rbm import RBM, as_array, param_dtype
 from multimodal_idbn_tpu.ops import imdbn_ops
 
 # Hardcoded in the reference (imdbn.py:540).
@@ -167,6 +167,7 @@ class iMDBN:
             final_momentum=self.params.get("FINAL_MOMENTUM", 0.95),
             softmax_groups=[(self.Dz_img, self.Dz_img + K)],
             seed=None if self._seed is None else self._seed + 1000,
+            dtype=param_dtype(self.params),
         )
 
     def _joint_groups(self) -> Tuple[Tuple[int, int], ...]:
@@ -228,8 +229,11 @@ class iMDBN:
         z_bias, y_bias, z_class_mean = imdbn_ops.joint_bias_stats(
             Z, Y, num_classes=self.num_labels)
         Dz, K = self.Dz_img, self.num_labels
-        vb = self.joint_rbm.vis_bias.at[:Dz].set(z_bias)
-        vb = vb.at[Dz:Dz + K].set(y_bias)
+        vb0 = self.joint_rbm.vis_bias
+        # cast stats to the storage dtype (scatter of f32 into bf16 warns
+        # and will become an error in future JAX)
+        vb = vb0.at[:Dz].set(jnp.asarray(z_bias, vb0.dtype))
+        vb = vb.at[Dz:Dz + K].set(jnp.asarray(y_bias, vb0.dtype))
         self.joint_rbm.vis_bias = vb
         self.z_class_mean = z_class_mean
         self.z_class_count = Y.sum(0)

@@ -46,6 +46,18 @@ def _fresh_key(seed: Optional[int]) -> Array:
     return jax.random.key(int(seed))
 
 
+def param_dtype(params: dict):
+    """Storage dtype from a params dict: ``DTYPE`` ∈ {"float32",
+    "bfloat16"} (framework extension; default float32 = reference
+    semantics)."""
+    name = str((params or {}).get("DTYPE", "float32")).lower()
+    if name in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    if name in ("float32", "f32", "fp32"):
+        return jnp.float32
+    raise ValueError(f"unsupported DTYPE {name!r} (float32 | bfloat16)")
+
+
 def as_array(x, dtype=jnp.float32) -> Array:
     """Convert numpy / jax / torch-CPU inputs to a 2-D float device array."""
     if hasattr(x, "detach"):  # torch tensor without importing torch
@@ -108,6 +120,7 @@ class RBM:
         sparsity_factor: float = 0.05,
         softmax_groups: Optional[List[Tuple[int, int]]] = None,
         seed: Optional[int] = None,
+        dtype=None,
     ):
         self.num_visible = int(num_visible)
         self.num_hidden = int(num_hidden)
@@ -122,8 +135,12 @@ class RBM:
 
         self._key = _fresh_key(seed)
         self._key, init_key = jax.random.split(self._key)
-        self._state = rbm_ops.init_rbm_state(init_key, self.num_visible,
-                                             self.num_hidden)
+        # dtype: storage precision (framework extension; bfloat16 halves
+        # the HBM traffic the CD epoch is bound on, see tests/test_bf16.py
+        # and bench.py's bf16 variant). Default f32 = reference semantics.
+        self._state = rbm_ops.init_rbm_state(
+            init_key, self.num_visible, self.num_hidden,
+            dtype=dtype or jnp.float32)
         # μ-pull side channel kept for reference API compat (rbm.py:359).
         self._mu_pull = None
 
@@ -154,7 +171,7 @@ class RBM:
 
     @W.setter
     def W(self, value) -> None:
-        self._replace(w=jnp.asarray(value, jnp.float32))
+        self._replace(w=jnp.asarray(value, self._state.w.dtype))
 
     @property
     def hid_bias(self) -> Array:
@@ -162,7 +179,7 @@ class RBM:
 
     @hid_bias.setter
     def hid_bias(self, value) -> None:
-        self._replace(hb=jnp.asarray(value, jnp.float32))
+        self._replace(hb=jnp.asarray(value, self._state.hb.dtype))
 
     @property
     def vis_bias(self) -> Array:
@@ -170,7 +187,7 @@ class RBM:
 
     @vis_bias.setter
     def vis_bias(self, value) -> None:
-        self._replace(vb=jnp.asarray(value, jnp.float32))
+        self._replace(vb=jnp.asarray(value, self._state.vb.dtype))
 
     @property
     def W_m(self) -> Array:

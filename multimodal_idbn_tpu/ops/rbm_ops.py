@@ -150,6 +150,10 @@ def cd_update(state: RBMState, key: Array, data: Array, *,
         raise ValueError(f"cd_update requires CD >= 1, got {cd}")
     k_pos, k_neg = jax.random.split(key)
     bsz = data.shape[0]
+    # Opt-in reduced-precision storage (init_rbm_state(dtype=bfloat16)):
+    # the whole update then runs in the state dtype, halving the HBM
+    # traffic the flagship epoch is bound on (benchmarks/RESULTS.md).
+    data = data.astype(state.w.dtype)
 
     pos_h = hidden_probs(state, data)              # probabilities (:199)
     pos_assoc = data.T @ pos_h                     # (:200)
@@ -158,19 +162,26 @@ def cd_update(state: RBMState, key: Array, data: Array, *,
     v, v_prob, h_prob = _negative_chain(state, k_neg, h0, cd, groups)
     neg_assoc = v.T @ h_prob                       # sampled v, prob h (:209)
 
-    w_m = mom * state.w_m + lr * ((pos_assoc - neg_assoc) / bsz
-                                  - weight_decay * state.w)       # (:212)
-    w = state.w + w_m                                             # (:213)
+    # Updates cast back to the storage dtype (identity for f32; pins the
+    # scan carry dtype when lr/mom arrive as f32 schedule arrays while
+    # the state is stored bf16).
+    dt = state.w.dtype
+    w_m = (mom * state.w_m + lr * ((pos_assoc - neg_assoc) / bsz
+                                   - weight_decay * state.w)).astype(dt)  # (:212)
+    w = (state.w + w_m).astype(dt)                                # (:213)
 
     hb_m = mom * state.hb_m + lr * (pos_h.sum(0) - h_prob.sum(0)) / bsz  # (:216)
     if sparsity:                                                  # (:217-219)
         hb_m = hb_m + (-lr * (pos_h.mean(0) - sparsity_factor))
-    hb = state.hb + hb_m                                          # (:220)
+    hb_m = hb_m.astype(dt)
+    hb = (state.hb + hb_m).astype(dt)                             # (:220)
 
-    vb_m = mom * state.vb_m + lr * (data.sum(0) - v.sum(0)) / bsz  # (:223)
-    vb = state.vb + vb_m                                          # (:224)
+    vb_m = (mom * state.vb_m
+            + lr * (data.sum(0) - v.sum(0)) / bsz).astype(dt)     # (:223)
+    vb = (state.vb + vb_m).astype(dt)                             # (:224)
 
-    loss = jnp.mean((data - v_prob) ** 2)                         # (:226)
+    # Loss reported in f32 regardless of storage dtype.
+    loss = jnp.mean(jnp.square((data - v_prob).astype(jnp.float32)))  # (:226)
     return RBMState(w, hb, vb, w_m, hb_m, vb_m), loss
 
 
@@ -371,13 +382,16 @@ def clamped_cd_update(state: RBMState, key: Array, v_known: Array,
     neg_assoc = v_neg.T @ h_neg
 
     scaled = aux_lr_mult * lr
-    w_m = mom * state.w_m + scaled * ((pos_assoc - neg_assoc) / bsz
-                                      - weight_decay * state.w)
-    w = state.w + w_m
-    hb_m = mom * state.hb_m + scaled * (h_plus.sum(0) - h_neg.sum(0)) / bsz
-    hb = state.hb + hb_m
-    vb_m = mom * state.vb_m + scaled * (v_plus.sum(0) - v_neg.sum(0)) / bsz
-    vb = state.vb + vb_m
+    dt = state.w.dtype  # pin storage dtype (identity for f32)
+    w_m = (mom * state.w_m + scaled * ((pos_assoc - neg_assoc) / bsz
+                                       - weight_decay * state.w)).astype(dt)
+    w = (state.w + w_m).astype(dt)
+    hb_m = (mom * state.hb_m
+            + scaled * (h_plus.sum(0) - h_neg.sum(0)) / bsz).astype(dt)
+    hb = (state.hb + hb_m).astype(dt)
+    vb_m = (mom * state.vb_m
+            + scaled * (v_plus.sum(0) - v_neg.sum(0)) / bsz).astype(dt)
+    vb = (state.vb + vb_m).astype(dt)
 
-    loss = jnp.mean((v_plus - v_neg) ** 2)
+    loss = jnp.mean(jnp.square((v_plus - v_neg).astype(jnp.float32)))
     return RBMState(w, hb, vb, w_m, hb_m, vb_m), loss

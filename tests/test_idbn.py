@@ -1,5 +1,6 @@
 """iDBN model tests: API shapes, fused-vs-reference-path learning, save."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -102,3 +103,59 @@ def test_save_model(tmp_path, model):
     assert len(payload["layers"]) == 2
     w0 = np.asarray(payload["layers"][0].W)
     np.testing.assert_allclose(w0, np.asarray(model.layers[0].W))
+
+
+def test_train_with_retry_no_retry_when_healthy():
+    """Healthy training must not retry (defaults-unchanged contract)."""
+    from multimodal_idbn_tpu.data import create_dataloaders_uniform
+    from multimodal_idbn_tpu.models import iDBN
+
+    params = {"LEARNING_RATE": 0.1, "WEIGHT_PENALTY": 1e-4,
+              "INIT_MOMENTUM": 0.5, "FINAL_MOMENTUM": 0.9,
+              "LEARNING_RATE_DYNAMIC": True, "CD": 1}
+    train, val, _ = create_dataloaders_uniform(batch_size=16, n_samples=64,
+                                               num_classes=4, side=12,
+                                               seed=0)
+    m = iDBN([144, 32, 16], params, train, val, seed=0)
+    w0 = np.asarray(m.layers[0].W).copy()
+    retries = m.train_with_retry(epochs=8, max_retries=2)
+    assert retries == 0
+    # trained, not re-initialized
+    assert not np.array_equal(np.asarray(m.layers[0].W), w0)
+
+
+def test_train_with_retry_reinits_on_collapse(monkeypatch):
+    """Force the collapse detector to fire once: layers must be re-drawn
+    (different parameters) and training re-run."""
+    from multimodal_idbn_tpu.data import create_dataloaders_uniform
+    from multimodal_idbn_tpu.models import iDBN
+
+    params = {"LEARNING_RATE": 0.1, "WEIGHT_PENALTY": 1e-4,
+              "INIT_MOMENTUM": 0.5, "FINAL_MOMENTUM": 0.9,
+              "LEARNING_RATE_DYNAMIC": True, "CD": 1}
+    train, val, _ = create_dataloaders_uniform(batch_size=16, n_samples=48,
+                                               num_classes=4, side=10,
+                                               seed=0)
+    m = iDBN([100, 16, 8], params, train, val, seed=3)
+
+    calls = {"n": 0}
+    real_reconstruct = m.reconstruct
+
+    def fake_reconstruct(x):
+        calls["n"] += 1
+        if calls["n"] == 1:  # first check: pretend blank reconstruction
+            return jnp.zeros_like(jnp.asarray(x))
+        return real_reconstruct(x)
+
+    monkeypatch.setattr(m, "reconstruct", fake_reconstruct)
+    train_runs = {"n": 0}
+    real_train = m.train
+
+    def counting_train(*a, **k):
+        train_runs["n"] += 1
+        return real_train(*a, **k)
+
+    monkeypatch.setattr(m, "train", counting_train)
+    retries = m.train_with_retry(epochs=2, max_retries=2)
+    assert retries == 1
+    assert train_runs["n"] == 2
