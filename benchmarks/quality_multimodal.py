@@ -40,6 +40,9 @@ def main():
                     help="disable the reference's degenerate best-of-K "
                          "selector (reference_best_of_k_bug=False): pick "
                          "the TXT->IMG candidate by real free energy")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="parameter storage dtype (params['DTYPE'])")
     args = ap.parse_args()
 
     import numpy as np
@@ -63,6 +66,7 @@ def main():
         "CROSS_GIBBS_STEPS": 50,
         "JOINT_AUX_COND_STEPS": 30,
         "SEED": args.seed,
+        "DTYPE": args.dtype,
     }
 
     log(f"[quality] building dataset ({args.n_samples} x 100x100, "
@@ -122,7 +126,9 @@ def main():
                   + (" (quick)" if args.quick else "")
                   + (" (real best-of-K)" if args.real_best_of_k else "")
                   + (f" (init-retry x{retries})" if args.init_retry
-                     else ""),
+                     else "")
+                  + (f" (dtype={args.dtype})"
+                     if args.dtype != "float32" else ""),
         "epochs_img": epochs_img,
         "epochs_joint": epochs_joint,
         "idbn_final_loss": model.image_idbn.loss_history[-1],

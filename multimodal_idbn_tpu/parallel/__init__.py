@@ -24,3 +24,9 @@ from multimodal_idbn_tpu.parallel.data_parallel import (  # noqa: F401
     replicate,
     shard_batch,
 )
+from multimodal_idbn_tpu.parallel.mesh2d import (  # noqa: F401
+    make_mesh_2d,
+    shard_state,
+    tp_cd_update,
+    tp_idbn_epoch,
+)
