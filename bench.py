@@ -173,6 +173,43 @@ def bench_jax():
     except Exception as exc:  # pragma: no cover - optional path
         log(f"[bench] bf16 variant unavailable: {exc}")
 
+    # Mixed precision (COMPUTE_DTYPE): f32 master weights, bf16 chain
+    # GEMMs — the quality-preserving fast mode (pure bf16 storage
+    # collapses flagship quality, benchmarks/RESULTS.md round-2 study).
+    mixed_dt = None
+    try:
+        statesm = tuple(
+            rbm_ops.init_rbm_state(keys[i], LAYERS[i], LAYERS[i + 1])
+            for i in range(len(LAYERS) - 1))
+
+        def epoch_mixed(states, e):
+            return dbn_train.idbn_epoch(
+                states, jax.random.fold_in(keys[-1], e), data, 0.1, 0.5,
+                1e-4, 0.1, compute_dtype=jnp.bfloat16, **kwargs)
+
+        t0 = time.perf_counter()
+        statesm, lm = epoch_mixed(statesm, 0)
+        float(lm[-1, -1])
+        log(f"[bench] mixed first epoch (compile): "
+            f"{time.perf_counter() - t0:.1f}s")
+        timesm = []
+        em = 1
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(group):
+                statesm, lm = epoch_mixed(statesm, em)
+                em += 1
+            fm_loss = float(lm[-1, -1])
+            timesm.append((time.perf_counter() - t0) / group)
+        vm = [t for t in timesm if flops / t <= PEAK_FLOPS]
+        if vm:
+            mixed_dt = float(np.median(vm))
+            log(f"[bench] mixed-precision epoch: {mixed_dt * 1000:.2f} ms "
+                f"median (loss {fm_loss:.4f}; groups "
+                f"{[round(t * 1000, 2) for t in timesm]} ms)")
+    except Exception as exc:  # pragma: no cover - optional path
+        log(f"[bench] mixed variant unavailable: {exc}")
+
     mfu = flops / dt / PEAK_FLOPS
     hbm_util = hbm / dt / PEAK_HBM
     log(f"[bench] steady-state epoch: {dt * 1000:.2f} ms median "
@@ -187,6 +224,8 @@ def bench_jax():
                             round(max(times) * 1000, 2)]}
     if bf16_dt is not None:
         extras["bf16_epoch_s"] = round(bf16_dt, 5)
+    if mixed_dt is not None:
+        extras["mixed_epoch_s"] = round(mixed_dt, 5)
     return dt, extras
 
 

@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="parameter storage dtype (params['DTYPE'])")
+    ap.add_argument("--compute-dtype", default=None,
+                    choices=["bfloat16"],
+                    help="mixed precision: f32 master weights, bf16 "
+                         "Gibbs-chain GEMMs (params['COMPUTE_DTYPE'])")
     args = ap.parse_args()
 
     import numpy as np
@@ -67,6 +71,7 @@ def main():
         "JOINT_AUX_COND_STEPS": 30,
         "SEED": args.seed,
         "DTYPE": args.dtype,
+        "COMPUTE_DTYPE": args.compute_dtype,
     }
 
     log(f"[quality] building dataset ({args.n_samples} x 100x100, "
@@ -128,7 +133,9 @@ def main():
                   + (f" (init-retry x{retries})" if args.init_retry
                      else "")
                   + (f" (dtype={args.dtype})"
-                     if args.dtype != "float32" else ""),
+                     if args.dtype != "float32" else "")
+                  + (f" (compute={args.compute_dtype})"
+                     if args.compute_dtype else ""),
         "epochs_img": epochs_img,
         "epochs_joint": epochs_joint,
         "idbn_final_loss": model.image_idbn.loss_history[-1],

@@ -17,7 +17,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from multimodal_idbn_tpu.models.rbm import RBM, as_array, param_dtype
+from multimodal_idbn_tpu.models.rbm import (RBM, as_array,
+                                            param_compute_dtype,
+                                            param_dtype)
 from multimodal_idbn_tpu.ops import dbn_train
 
 
@@ -105,6 +107,9 @@ class iDBN:
         # params["DTYPE"]="bfloat16" opts into reduced-precision storage
         # (framework extension; default float32 = reference semantics).
         dtype = param_dtype(self.params)
+        # params["COMPUTE_DTYPE"]="bfloat16": mixed precision (f32 master
+        # weights, bf16 Gibbs-chain GEMMs) — see models/rbm.py docstring.
+        self.compute_dtype = param_compute_dtype(self.params)
         self._layer_sizes = list(layer_sizes)
         self._init_seed = seed
         for i in range(len(layer_sizes) - 1):
@@ -173,7 +178,8 @@ class iDBN:
         states, losses = dbn_train.idbn_epoch(
             self._states(), key, data_p, lr, mom, wd, self.sparsity_factor,
             cd=self.cd_k, sparsity_flags=self._sparsity_flags(),
-            batch_size=bs, shuffle=False)
+            batch_size=bs, shuffle=False,
+            compute_dtype=self.compute_dtype)
         # Reference averages over all (batch, layer) loss entries equally
         # (idbn.py:204-208): accumulate sums so the remainder batch gets
         # per-entry (not per-call) weight.
@@ -184,7 +190,8 @@ class iDBN:
             states, rl = dbn_train.idbn_batch_step(
                 states, jax.random.fold_in(key, 987), data_p[n - rem:],
                 lr, mom, wd, self.sparsity_factor, cd=self.cd_k,
-                sparsity_flags=self._sparsity_flags())
+                sparsity_flags=self._sparsity_flags(),
+                compute_dtype=self.compute_dtype)
             loss_sum += float(rl.sum())
             loss_count += int(rl.size)
         self._set_states(states)
@@ -228,7 +235,8 @@ class iDBN:
                     jnp.arange(E, dtype=jnp.int32), lr_arr, mom_arr,
                     self.layers[0].weight_decay, self.sparsity_factor,
                     cd=self.cd_k, sparsity_flags=self._sparsity_flags(),
-                    batch_size=bs, n_epochs=E)
+                    batch_size=bs, n_epochs=E,
+                    compute_dtype=self.compute_dtype)
                 self._set_states(states)
             sums = np.asarray(sums)
             counts = np.asarray(counts)

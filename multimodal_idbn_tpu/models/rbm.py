@@ -58,6 +58,29 @@ def param_dtype(params: dict):
     raise ValueError(f"unsupported DTYPE {name!r} (float32 | bfloat16)")
 
 
+def param_compute_dtype(params: dict):
+    """Mixed-precision compute dtype from a params dict:
+    ``COMPUTE_DTYPE`` ∈ {None/"float32", "bfloat16"}.
+
+    Framework extension: f32 master weights with the Gibbs-chain GEMMs
+    streaming a bf16 weight copy (``rbm_ops.compute_cast``). Unlike
+    ``DTYPE="bfloat16"`` storage — which measurably collapses flagship
+    quality because bf16 swallows the small CD increments
+    (benchmarks/RESULTS.md round-2 bf16 study) — mixed precision keeps
+    the update math in f32. Default None = bit-exact reference path.
+    """
+    name = (params or {}).get("COMPUTE_DTYPE", None)
+    if name is None:
+        return None
+    name = str(name).lower()
+    if name in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    if name in ("float32", "f32", "fp32", "none"):
+        return None
+    raise ValueError(
+        f"unsupported COMPUTE_DTYPE {name!r} (float32 | bfloat16)")
+
+
 def as_array(x, dtype=jnp.float32) -> Array:
     """Convert numpy / jax / torch-CPU inputs to a 2-D float device array."""
     if hasattr(x, "detach"):  # torch tensor without importing torch

@@ -29,11 +29,11 @@ States = Tuple[rbm_ops.RBMState, ...]
 
 
 @partial(jax.jit, static_argnames=("cd", "sparsity_flags", "batch_size",
-                                   "shuffle"))
+                                   "shuffle", "compute_dtype"))
 def idbn_epoch(states: States, key: Array, data: Array, lr, mom,
                weight_decay, sparsity_factor, *, cd: int,
                sparsity_flags: Tuple[bool, ...], batch_size: int,
-               shuffle: bool = False):
+               shuffle: bool = False, compute_dtype=None):
     """One full iDBN epoch on-device.
 
     Args:
@@ -57,9 +57,11 @@ def idbn_epoch(states: States, key: Array, data: Array, lr, mom,
     nb = n // batch_size
     if nb == 0:  # dataset smaller than one batch: caller's remainder
         return states, jnp.zeros((0, len(states)), jnp.float32)
-    # Run the whole epoch in the state storage dtype (bf16 states halve
-    # the HBM traffic the epoch is bound on; f32 states are unaffected).
-    data = data.astype(states[0].w.dtype)
+    # Run the whole epoch in the compute dtype: the state storage dtype,
+    # or the mixed-precision override (f32 master weights, bf16 chain —
+    # rbm_ops.compute_cast). bf16 anywhere halves the HBM traffic the
+    # epoch is bound on.
+    data = data.astype(compute_dtype or states[0].w.dtype)
     kperm, kscan = jax.random.split(key)
     if shuffle:
         order = jax.random.permutation(kperm, n)
@@ -80,8 +82,12 @@ def idbn_epoch(states: States, key: Array, data: Array, lr, mom,
                 st, jax.random.fold_in(bkey, i), v, lr=lr, mom=mom,
                 weight_decay=weight_decay, cd=cd,
                 sparsity=sparsity_flags[i],
-                sparsity_factor=sparsity_factor, groups=())
-            v = rbm_ops.hidden_probs(st, v)  # post-update activations
+                sparsity_factor=sparsity_factor, groups=(),
+                compute_dtype=compute_dtype)
+            # post-update activations feed the next layer (same compute
+            # dtype so the whole chain streams bf16 under mixed precision)
+            v = rbm_ops.hidden_probs(
+                rbm_ops.compute_cast(st, compute_dtype), v)
             new_states.append(st)
             losses.append(loss)
         return tuple(new_states), jnp.stack(losses)
@@ -91,12 +97,12 @@ def idbn_epoch(states: States, key: Array, data: Array, lr, mom,
 
 
 @partial(jax.jit, static_argnames=("cd", "sparsity_flags", "batch_size",
-                                   "n_epochs"))
+                                   "n_epochs", "compute_dtype"))
 def idbn_epoch_block(states: States, epoch_key: Array, data: Array,
                      epoch_idx: Array, lr_arr: Array, mom_arr: Array,
                      weight_decay, sparsity_factor, *, cd: int,
                      sparsity_flags: Tuple[bool, ...], batch_size: int,
-                     n_epochs: int):
+                     n_epochs: int, compute_dtype=None):
     """Run ``n_epochs`` full epochs in ONE dispatch (nested scan).
 
     Each epoch permutes the dataset on-device (exactly-once semantics,
@@ -113,7 +119,7 @@ def idbn_epoch_block(states: States, epoch_key: Array, data: Array,
     nb = n // batch_size
     rem = n - nb * batch_size
     L = len(states)
-    data = data.astype(states[0].w.dtype)  # bf16 storage support
+    data = data.astype(compute_dtype or states[0].w.dtype)
 
     def epoch_body(states, xs):
         e_idx, lr, mom = xs
@@ -133,8 +139,10 @@ def idbn_epoch_block(states: States, epoch_key: Array, data: Array,
                     st, jax.random.fold_in(bkey, i), v, lr=lr, mom=mom,
                     weight_decay=weight_decay, cd=cd,
                     sparsity=sparsity_flags[i],
-                    sparsity_factor=sparsity_factor, groups=())
-                v = rbm_ops.hidden_probs(st, v)
+                    sparsity_factor=sparsity_factor, groups=(),
+                    compute_dtype=compute_dtype)
+                v = rbm_ops.hidden_probs(
+                    rbm_ops.compute_cast(st, compute_dtype), v)
                 new_states.append(st)
                 losses.append(loss)
             return tuple(new_states), jnp.stack(losses)
@@ -157,8 +165,10 @@ def idbn_epoch_block(states: States, epoch_key: Array, data: Array,
                     st, jax.random.fold_in(rkey, i), v, lr=lr, mom=mom,
                     weight_decay=weight_decay, cd=cd,
                     sparsity=sparsity_flags[i],
-                    sparsity_factor=sparsity_factor, groups=())
-                v = rbm_ops.hidden_probs(st, v)
+                    sparsity_factor=sparsity_factor, groups=(),
+                    compute_dtype=compute_dtype)
+                v = rbm_ops.hidden_probs(
+                    rbm_ops.compute_cast(st, compute_dtype), v)
                 new_states.append(st)
                 loss_sum = loss_sum + loss
                 count = count + 1.0
@@ -170,21 +180,24 @@ def idbn_epoch_block(states: States, epoch_key: Array, data: Array,
     return states, sums, counts
 
 
-@partial(jax.jit, static_argnames=("cd", "sparsity_flags"))
+@partial(jax.jit, static_argnames=("cd", "sparsity_flags",
+                                   "compute_dtype"))
 def idbn_batch_step(states: States, key: Array, batch: Array, lr, mom,
                     weight_decay, sparsity_factor, *, cd: int,
-                    sparsity_flags: Tuple[bool, ...]):
+                    sparsity_flags: Tuple[bool, ...], compute_dtype=None):
     """Per-batch all-layers update (used for the epoch remainder and by
     the reference-style per-batch path)."""
-    v = batch
+    v = batch.astype(compute_dtype or states[0].w.dtype)
     new_states = []
     losses = []
     for i, st in enumerate(states):
         st, loss = rbm_ops.cd_update(
             st, jax.random.fold_in(key, i), v, lr=lr, mom=mom,
             weight_decay=weight_decay, cd=cd, sparsity=sparsity_flags[i],
-            sparsity_factor=sparsity_factor, groups=())
-        v = rbm_ops.hidden_probs(st, v)
+            sparsity_factor=sparsity_factor, groups=(),
+            compute_dtype=compute_dtype)
+        v = rbm_ops.hidden_probs(
+            rbm_ops.compute_cast(st, compute_dtype), v)
         new_states.append(st)
         losses.append(loss)
     return tuple(new_states), jnp.stack(losses)

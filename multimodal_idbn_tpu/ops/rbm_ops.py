@@ -134,10 +134,30 @@ def _negative_chain(state: RBMState, key: Array, h0: Array, cd: int,
     return v, v_prob, h_prob
 
 
+def compute_cast(state: RBMState, compute_dtype=None) -> RBMState:
+    """Weights/biases cast once to a reduced compute dtype (mixed
+    precision); momentum buffers are update-only and left untouched.
+
+    This is the mixed-precision contract: parameters stay in f32 master
+    storage (small CD increments survive), while the Gibbs-chain GEMMs
+    stream a bf16 copy of W — one cast per update amortized over the
+    2·CD+2 weight-sized GEMM reads the epoch is HBM-bound on. Pure-bf16
+    *storage* (init_rbm_state(dtype=bfloat16)) is faster still but loses
+    the updates themselves (measured collapse: benchmarks/RESULTS.md
+    round-2 bf16 study).
+    """
+    if compute_dtype is None or state.w.dtype == jnp.dtype(compute_dtype):
+        return state
+    return state._replace(w=state.w.astype(compute_dtype),
+                          hb=state.hb.astype(compute_dtype),
+                          vb=state.vb.astype(compute_dtype))
+
+
 def cd_update(state: RBMState, key: Array, data: Array, *,
               lr, mom, weight_decay, cd: int,
               sparsity: bool = False, sparsity_factor: float = 0.05,
-              groups: SoftmaxGroups = ()) -> Tuple[RBMState, Array]:
+              groups: SoftmaxGroups = (),
+              compute_dtype=None) -> Tuple[RBMState, Array]:
     """One CD-k parameter update on a batch; returns (new_state, mse loss).
 
     Exact update order of reference rbm.py:181-227 (SURVEY.md §2.1(3)):
@@ -145,22 +165,46 @@ def cd_update(state: RBMState, key: Array, data: Array, *,
     *sampled* v and *probabilistic* h, momentum-buffer-then-apply updates,
     sparsity added to the hidden momentum buffer before applying.
     ``lr``/``mom`` arrive as traced scalars so one compile serves all epochs.
+
+    ``compute_dtype`` (static, default None = bit-exact reference path):
+    mixed precision — the Gibbs chain runs on a bf16 copy of the weights
+    while statistics accumulate in f32 and the parameter update applies to
+    the f32 master state (see ``compute_cast``).
     """
     if int(cd) < 1:
         raise ValueError(f"cd_update requires CD >= 1, got {cd}")
     k_pos, k_neg = jax.random.split(key)
     bsz = data.shape[0]
+    mixed = compute_dtype is not None
     # Opt-in reduced-precision storage (init_rbm_state(dtype=bfloat16)):
     # the whole update then runs in the state dtype, halving the HBM
     # traffic the flagship epoch is bound on (benchmarks/RESULTS.md).
-    data = data.astype(state.w.dtype)
+    cstate = compute_cast(state, compute_dtype) if mixed else state
+    data = data.astype(cstate.w.dtype)
 
-    pos_h = hidden_probs(state, data)              # probabilities (:199)
-    pos_assoc = data.T @ pos_h                     # (:200)
+    pos_h = hidden_probs(cstate, data)             # probabilities (:199)
 
     h0 = sample_bernoulli(k_pos, pos_h)            # chain start sampled (:203)
-    v, v_prob, h_prob = _negative_chain(state, k_neg, h0, cd, groups)
-    neg_assoc = v.T @ h_prob                       # sampled v, prob h (:209)
+    v, v_prob, h_prob = _negative_chain(cstate, k_neg, h0, cd, groups)
+
+    if mixed:
+        # bf16 GEMM operands, f32 accumulation/output (the MXU
+        # accumulates f32 anyway; preferred_element_type skips the
+        # output rounding), elementwise sums in f32.
+        f32 = jnp.float32
+        pos_assoc = jnp.matmul(data.T, pos_h, preferred_element_type=f32)
+        neg_assoc = jnp.matmul(v.T, h_prob, preferred_element_type=f32)
+        pos_h_sum = pos_h.astype(f32).sum(0)
+        neg_h_sum = h_prob.astype(f32).sum(0)
+        pos_h_mean = pos_h.astype(f32).mean(0)
+        data_sum = data.astype(f32).sum(0)
+        v_sum = v.astype(f32).sum(0)
+    else:
+        pos_assoc = data.T @ pos_h                 # (:200)
+        neg_assoc = v.T @ h_prob                   # sampled v, prob h (:209)
+        pos_h_sum, neg_h_sum = pos_h.sum(0), h_prob.sum(0)
+        pos_h_mean = pos_h.mean(0)
+        data_sum, v_sum = data.sum(0), v.sum(0)
 
     # Updates cast back to the storage dtype (identity for f32; pins the
     # scan carry dtype when lr/mom arrive as f32 schedule arrays while
@@ -170,14 +214,14 @@ def cd_update(state: RBMState, key: Array, data: Array, *,
                                    - weight_decay * state.w)).astype(dt)  # (:212)
     w = (state.w + w_m).astype(dt)                                # (:213)
 
-    hb_m = mom * state.hb_m + lr * (pos_h.sum(0) - h_prob.sum(0)) / bsz  # (:216)
+    hb_m = mom * state.hb_m + lr * (pos_h_sum - neg_h_sum) / bsz  # (:216)
     if sparsity:                                                  # (:217-219)
-        hb_m = hb_m + (-lr * (pos_h.mean(0) - sparsity_factor))
+        hb_m = hb_m + (-lr * (pos_h_mean - sparsity_factor))
     hb_m = hb_m.astype(dt)
     hb = (state.hb + hb_m).astype(dt)                             # (:220)
 
     vb_m = (mom * state.vb_m
-            + lr * (data.sum(0) - v.sum(0)) / bsz).astype(dt)     # (:223)
+            + lr * (data_sum - v_sum) / bsz).astype(dt)           # (:223)
     vb = (state.vb + vb_m).astype(dt)                             # (:224)
 
     # Loss reported in f32 regardless of storage dtype.
