@@ -47,6 +47,12 @@ def main():
                     choices=["bfloat16"],
                     help="mixed precision: f32 master weights, bf16 "
                          "Gibbs-chain GEMMs (params['COMPUTE_DTYPE'])")
+    ap.add_argument("--pcd", action="store_true",
+                    help="persistent-CD trainer for the image iDBN "
+                         "(params['PCD'])")
+    ap.add_argument("--lr", type=float, default=0.1,
+                    help="image-stack learning rate (PCD typically "
+                         "needs a smaller one than plain CD)")
     args = ap.parse_args()
 
     import numpy as np
@@ -59,7 +65,7 @@ def main():
     epochs_joint = 10 if args.quick else 150
 
     params = {
-        "LEARNING_RATE": 0.1,
+        "LEARNING_RATE": args.lr,
         "WEIGHT_PENALTY": 1e-4,
         "INIT_MOMENTUM": 0.5,
         "FINAL_MOMENTUM": 0.95,
@@ -72,6 +78,7 @@ def main():
         "SEED": args.seed,
         "DTYPE": args.dtype,
         "COMPUTE_DTYPE": args.compute_dtype,
+        "PCD": args.pcd,
     }
 
     log(f"[quality] building dataset ({args.n_samples} x 100x100, "
@@ -135,7 +142,9 @@ def main():
                   + (f" (dtype={args.dtype})"
                      if args.dtype != "float32" else "")
                   + (f" (compute={args.compute_dtype})"
-                     if args.compute_dtype else ""),
+                     if args.compute_dtype else "")
+                  + (" (pcd)" if args.pcd else "")
+                  + (f" (lr={args.lr})" if args.lr != 0.1 else ""),
         "epochs_img": epochs_img,
         "epochs_joint": epochs_joint,
         "idbn_final_loss": model.image_idbn.loss_history[-1],

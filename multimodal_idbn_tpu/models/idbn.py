@@ -110,6 +110,10 @@ class iDBN:
         # params["COMPUTE_DTYPE"]="bfloat16": mixed precision (f32 master
         # weights, bf16 Gibbs-chain GEMMs) — see models/rbm.py docstring.
         self.compute_dtype = param_compute_dtype(self.params)
+        # params["PCD"]=True: persistent-CD trainer (framework extension,
+        # rbm_ops.pcd_update; the reference trains plain CD-k only).
+        self.use_pcd = bool(self.params.get("PCD", False))
+        self._pcd_chains = None
         self._layer_sizes = list(layer_sizes)
         self._init_seed = seed
         for i in range(len(layer_sizes) - 1):
@@ -141,6 +145,19 @@ class iDBN:
 
     def _sparsity_flags(self):
         return tuple(bool(r.sparsity) for r in self.layers)
+
+    def _ensure_pcd_chains(self, batch_size: int):
+        """Per-layer fantasy particles [batch_size, V_i], created once
+        and persisted across train() calls (PCD's defining property)."""
+        if (self._pcd_chains is None
+                or self._pcd_chains[0].shape[0] != batch_size):
+            from multimodal_idbn_tpu.ops.rbm_ops import init_pcd_chains
+            ck = jax.random.key(self.params.get("SEED", 0) + 12345)
+            self._pcd_chains = tuple(
+                init_pcd_chains(jax.random.fold_in(ck, i), batch_size,
+                                r.num_visible)
+                for i, r in enumerate(self.layers))
+        return self._pcd_chains
 
     def _layers_to_monitor(self) -> List[int]:
         """Top layer plus layer 1 when deeper (reference idbn.py:163-173)."""
@@ -175,11 +192,19 @@ class iDBN:
         n = data.shape[0]
         perm = jax.random.permutation(jax.random.fold_in(key, 0), n)
         data_p = data[perm]
-        states, losses = dbn_train.idbn_epoch(
-            self._states(), key, data_p, lr, mom, wd, self.sparsity_factor,
-            cd=self.cd_k, sparsity_flags=self._sparsity_flags(),
-            batch_size=bs, shuffle=False,
-            compute_dtype=self.compute_dtype)
+        if self.use_pcd:
+            states, self._pcd_chains, losses = dbn_train.idbn_epoch_pcd(
+                self._states(), self._ensure_pcd_chains(bs), key, data_p,
+                lr, mom, wd, self.sparsity_factor, cd=self.cd_k,
+                sparsity_flags=self._sparsity_flags(), batch_size=bs,
+                shuffle=False, compute_dtype=self.compute_dtype)
+        else:
+            states, losses = dbn_train.idbn_epoch(
+                self._states(), key, data_p, lr, mom, wd,
+                self.sparsity_factor, cd=self.cd_k,
+                sparsity_flags=self._sparsity_flags(),
+                batch_size=bs, shuffle=False,
+                compute_dtype=self.compute_dtype)
         # Reference averages over all (batch, layer) loss entries equally
         # (idbn.py:204-208): accumulate sums so the remainder batch gets
         # per-entry (not per-call) weight.
@@ -230,13 +255,25 @@ class iDBN:
                                   jnp.float32)
             bs = getattr(self.dataloader, "batch_size", 128)
             with timer.step(E):
-                states, sums, counts = dbn_train.idbn_epoch_block(
-                    self._states(), epoch_key, data,
-                    jnp.arange(E, dtype=jnp.int32), lr_arr, mom_arr,
-                    self.layers[0].weight_decay, self.sparsity_factor,
-                    cd=self.cd_k, sparsity_flags=self._sparsity_flags(),
-                    batch_size=bs, n_epochs=E,
-                    compute_dtype=self.compute_dtype)
+                if self.use_pcd:
+                    (states, self._pcd_chains, sums,
+                     counts) = dbn_train.idbn_epoch_block_pcd(
+                        self._states(), self._ensure_pcd_chains(bs),
+                        epoch_key, data, jnp.arange(E, dtype=jnp.int32),
+                        lr_arr, mom_arr, self.layers[0].weight_decay,
+                        self.sparsity_factor, cd=self.cd_k,
+                        sparsity_flags=self._sparsity_flags(),
+                        batch_size=bs, n_epochs=E,
+                        compute_dtype=self.compute_dtype)
+                else:
+                    states, sums, counts = dbn_train.idbn_epoch_block(
+                        self._states(), epoch_key, data,
+                        jnp.arange(E, dtype=jnp.int32), lr_arr, mom_arr,
+                        self.layers[0].weight_decay, self.sparsity_factor,
+                        cd=self.cd_k,
+                        sparsity_flags=self._sparsity_flags(),
+                        batch_size=bs, n_epochs=E,
+                        compute_dtype=self.compute_dtype)
                 self._set_states(states)
             sums = np.asarray(sums)
             counts = np.asarray(counts)

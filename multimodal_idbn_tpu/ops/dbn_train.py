@@ -180,6 +180,137 @@ def idbn_epoch_block(states: States, epoch_key: Array, data: Array,
     return states, sums, counts
 
 
+@partial(jax.jit, static_argnames=("cd", "sparsity_flags", "batch_size",
+                                   "shuffle", "compute_dtype"))
+def idbn_epoch_pcd(states: States, chains: Tuple[Array, ...], key: Array,
+                   data: Array, lr, mom, weight_decay, sparsity_factor, *,
+                   cd: int, sparsity_flags: Tuple[bool, ...],
+                   batch_size: int, shuffle: bool = False,
+                   compute_dtype=None):
+    """Persistent-CD fused epoch: like ``idbn_epoch`` but each layer
+    carries fantasy particles (``rbm_ops.pcd_update``) through the scan.
+    Returns (states, chains, losses[nb, L]). Framework extension — the
+    reference has no PCD trainer."""
+    n = data.shape[0]
+    nb = n // batch_size
+    if nb == 0:
+        return states, chains, jnp.zeros((0, len(states)), jnp.float32)
+    data = data.astype(compute_dtype or states[0].w.dtype)
+    kperm, kscan = jax.random.split(key)
+    if shuffle:
+        order = jax.random.permutation(kperm, n)
+        batches = data[order[:nb * batch_size]].reshape(
+            nb, batch_size, data.shape[1])
+    else:
+        batches = data[:nb * batch_size].reshape(nb, batch_size,
+                                                 data.shape[1])
+    step_keys = jax.random.split(kscan, nb)
+
+    def body(carry, xs):
+        states, chains = carry
+        batch, bkey = xs
+        v = batch
+        new_states, new_chains, losses = [], [], []
+        for i, (st, ch) in enumerate(zip(states, chains)):
+            st, ch, loss = rbm_ops.pcd_update(
+                st, ch, jax.random.fold_in(bkey, i), v, lr=lr, mom=mom,
+                weight_decay=weight_decay, cd=cd,
+                sparsity=sparsity_flags[i],
+                sparsity_factor=sparsity_factor, groups=(),
+                compute_dtype=compute_dtype)
+            v = rbm_ops.hidden_probs(
+                rbm_ops.compute_cast(st, compute_dtype), v)
+            new_states.append(st)
+            new_chains.append(ch)
+            losses.append(loss)
+        return (tuple(new_states), tuple(new_chains)), jnp.stack(losses)
+
+    (states, chains), losses = jax.lax.scan(
+        body, (states, chains), (batches, step_keys))
+    return states, chains, losses
+
+
+@partial(jax.jit, static_argnames=("cd", "sparsity_flags", "batch_size",
+                                   "n_epochs", "compute_dtype"))
+def idbn_epoch_block_pcd(states: States, chains: Tuple[Array, ...],
+                         epoch_key: Array, data: Array, epoch_idx: Array,
+                         lr_arr: Array, mom_arr: Array, weight_decay,
+                         sparsity_factor, *, cd: int,
+                         sparsity_flags: Tuple[bool, ...], batch_size: int,
+                         n_epochs: int, compute_dtype=None):
+    """``n_epochs`` persistent-CD epochs in one dispatch; the fantasy
+    particles persist ACROSS epochs (the point of PCD). Same key
+    derivation as ``idbn_epoch_block``; the remainder beyond
+    ``nb*batch_size`` is trained with plain CD (chain shapes are pinned
+    to ``batch_size``; callers document the fallback)."""
+    n = data.shape[0]
+    nb = n // batch_size
+    rem = n - nb * batch_size
+    L = len(states)
+    data = data.astype(compute_dtype or states[0].w.dtype)
+
+    def epoch_body(carry, xs):
+        states, chains = carry
+        e_idx, lr, mom = xs
+        key = jax.random.fold_in(epoch_key, e_idx)
+        perm = jax.random.permutation(jax.random.fold_in(key, 0), n)
+        data_p = data[perm]
+        kscan = jax.random.split(key)[1]
+        step_keys = jax.random.split(kscan, max(1, nb))
+
+        def body(carry, bxs):
+            states, chains = carry
+            batch, bkey = bxs
+            v = batch
+            new_states, new_chains, losses = [], [], []
+            for i, (st, ch) in enumerate(zip(states, chains)):
+                st, ch, loss = rbm_ops.pcd_update(
+                    st, ch, jax.random.fold_in(bkey, i), v, lr=lr,
+                    mom=mom, weight_decay=weight_decay, cd=cd,
+                    sparsity=sparsity_flags[i],
+                    sparsity_factor=sparsity_factor, groups=(),
+                    compute_dtype=compute_dtype)
+                v = rbm_ops.hidden_probs(
+                    rbm_ops.compute_cast(st, compute_dtype), v)
+                new_states.append(st)
+                new_chains.append(ch)
+                losses.append(loss)
+            return ((tuple(new_states), tuple(new_chains)),
+                    jnp.stack(losses))
+
+        loss_sum = jnp.zeros((), jnp.float32)
+        count = jnp.zeros((), jnp.float32)
+        if nb > 0:
+            batches = data_p[:nb * batch_size].reshape(
+                nb, batch_size, data.shape[1])
+            (states, chains), losses = jax.lax.scan(
+                body, (states, chains), (batches, step_keys))
+            loss_sum = losses.sum()
+            count = jnp.asarray(nb * L, jnp.float32)
+        if rem:
+            rkey = jax.random.fold_in(key, 987)
+            v = data_p[nb * batch_size:]
+            new_states = []
+            for i, st in enumerate(states):
+                st, loss = rbm_ops.cd_update(
+                    st, jax.random.fold_in(rkey, i), v, lr=lr, mom=mom,
+                    weight_decay=weight_decay, cd=cd,
+                    sparsity=sparsity_flags[i],
+                    sparsity_factor=sparsity_factor, groups=(),
+                    compute_dtype=compute_dtype)
+                v = rbm_ops.hidden_probs(
+                    rbm_ops.compute_cast(st, compute_dtype), v)
+                new_states.append(st)
+                loss_sum = loss_sum + loss
+                count = count + 1.0
+            states = tuple(new_states)
+        return (states, chains), (loss_sum, count)
+
+    (states, chains), (sums, counts) = jax.lax.scan(
+        epoch_body, (states, chains), (epoch_idx, lr_arr, mom_arr))
+    return states, chains, sums, counts
+
+
 @partial(jax.jit, static_argnames=("cd", "sparsity_flags",
                                    "compute_dtype"))
 def idbn_batch_step(states: States, key: Array, batch: Array, lr, mom,

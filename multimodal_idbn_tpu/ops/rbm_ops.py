@@ -229,6 +229,87 @@ def cd_update(state: RBMState, key: Array, data: Array, *,
     return RBMState(w, hb, vb, w_m, hb_m, vb_m), loss
 
 
+def pcd_update(state: RBMState, chain_v: Array, key: Array, data: Array, *,
+               lr, mom, weight_decay, cd: int,
+               sparsity: bool = False, sparsity_factor: float = 0.05,
+               groups: SoftmaxGroups = (),
+               compute_dtype=None) -> Tuple[RBMState, Array, Array]:
+    """Persistent-CD update (Tieleman 2008): the negative chain continues
+    from persistent fantasy particles ``chain_v`` instead of restarting at
+    the data. Returns (new_state, new_chain_v, loss).
+
+    Framework extension — NO reference counterpart (the reference trains
+    plain CD-k only, rbm.py:181-227); opt-in via ``params["PCD"]=True``.
+    Positive statistics, update order, momentum handling, and the
+    monitoring loss (one-step reconstruction MSE, same quantity CD-1
+    reports) all match ``cd_update`` so the two trainers are directly
+    comparable. The persistent chain is sampled state in [0, 1]^V and is
+    part of the training carry (fused epochs thread it through the scan;
+    epoch blocks persist it across epochs — the point of PCD).
+    """
+    if int(cd) < 1:
+        raise ValueError(f"pcd_update requires CD >= 1, got {cd}")
+    k_pos, k_chain, k_neg = jax.random.split(key, 3)
+    bsz = data.shape[0]
+    mixed = compute_dtype is not None
+    cstate = compute_cast(state, compute_dtype) if mixed else state
+    data = data.astype(cstate.w.dtype)
+    chain_v = chain_v.astype(cstate.w.dtype)
+
+    pos_h = hidden_probs(cstate, data)             # probabilities
+    h0 = sample_bernoulli(k_pos, pos_h)            # for the recon monitor
+
+    # negative phase: lift the persistent particles to h, run cd steps
+    h_chain = sample_bernoulli(k_chain, hidden_probs(cstate, chain_v))
+    v, v_prob, h_prob = _negative_chain(cstate, k_neg, h_chain, cd, groups)
+
+    if mixed:
+        f32 = jnp.float32
+        pos_assoc = jnp.matmul(data.T, pos_h, preferred_element_type=f32)
+        neg_assoc = jnp.matmul(v.T, h_prob, preferred_element_type=f32)
+        pos_h_sum = pos_h.astype(f32).sum(0)
+        neg_h_sum = h_prob.astype(f32).sum(0)
+        pos_h_mean = pos_h.astype(f32).mean(0)
+        data_sum = data.astype(f32).sum(0)
+        v_sum = v.astype(f32).sum(0)
+    else:
+        pos_assoc = data.T @ pos_h
+        neg_assoc = v.T @ h_prob
+        pos_h_sum, neg_h_sum = pos_h.sum(0), h_prob.sum(0)
+        pos_h_mean = pos_h.mean(0)
+        data_sum, v_sum = data.sum(0), v.sum(0)
+
+    dt = state.w.dtype
+    w_m = (mom * state.w_m + lr * ((pos_assoc - neg_assoc) / bsz
+                                   - weight_decay * state.w)).astype(dt)
+    w = (state.w + w_m).astype(dt)
+
+    hb_m = mom * state.hb_m + lr * (pos_h_sum - neg_h_sum) / bsz
+    if sparsity:
+        hb_m = hb_m + (-lr * (pos_h_mean - sparsity_factor))
+    hb_m = hb_m.astype(dt)
+    hb = (state.hb + hb_m).astype(dt)
+
+    vb_m = (mom * state.vb_m
+            + lr * (data_sum - v_sum) / bsz).astype(dt)
+    vb = (state.vb + vb_m).astype(dt)
+
+    # Monitoring loss: one-step reconstruction from the data-anchored h0
+    # (the quantity cd_update's loss reduces to at CD-1).
+    v_recon = visible_probs(cstate, h0, groups=groups)
+    loss = jnp.mean(jnp.square((data - v_recon).astype(jnp.float32)))
+    new_state = RBMState(w, hb, vb, w_m, hb_m, vb_m)
+    return new_state, v.astype(state.w.dtype), loss
+
+
+def init_pcd_chains(key: Array, batch_size: int, num_visible: int,
+                    dtype=jnp.float32) -> Array:
+    """Fantasy particles initialized U(0,1)-thresholded at 0.5 (fair
+    coin), the standard PCD start."""
+    return (jax.random.uniform(key, (batch_size, num_visible)) >
+            0.5).astype(dtype)
+
+
 # ---------------------------------------------------------------------------
 # Conditional samplers (rbm.py:240-400)
 # ---------------------------------------------------------------------------

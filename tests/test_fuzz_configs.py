@@ -10,24 +10,26 @@ from multimodal_idbn_tpu.data import create_dataloaders_uniform
 from multimodal_idbn_tpu.models import iMDBN
 
 CONFIGS = [
-    # (layer_sizes, joint_hidden, K, batch, n_samples, side, fused)
-    ([81, 17], 9, 2, 8, 40, 9, True),            # odd widths, K=2
-    ([100, 33, 11], 7, 3, 16, 50, 10, True),     # 3-layer, tiny joint
-    ([64, 16], 5, 7, 32, 45, 8, True),           # batch > train split
-    ([121, 24], 13, 4, 8, 40, 11, False),        # per-batch path
+    # (layer_sizes, joint_hidden, K, batch, n_samples, side, fused, extra)
+    ([81, 17], 9, 2, 8, 40, 9, True, {}),        # odd widths, K=2
+    ([100, 33, 11], 7, 3, 16, 50, 10, True, {}),  # 3-layer, tiny joint
+    ([64, 16], 5, 7, 32, 45, 8, True, {}),       # batch > train split
+    ([121, 24], 13, 4, 8, 40, 11, False, {}),    # per-batch path
+    ([81, 17], 9, 3, 8, 40, 9, True,             # framework extensions
+     {"COMPUTE_DTYPE": "bfloat16", "PCD": True}),
 ]
 
 
 @pytest.mark.parametrize("cfg", CONFIGS,
                          ids=[f"cfg{i}" for i in range(len(CONFIGS))])
 def test_random_config_end_to_end(cfg):
-    layers, joint_h, K, bs, n, side, fused = cfg
+    layers, joint_h, K, bs, n, side, fused, extra = cfg
     params = {
         "LEARNING_RATE": 0.1, "WEIGHT_PENALTY": 1e-4,
         "INIT_MOMENTUM": 0.5, "FINAL_MOMENTUM": 0.9,
         "LEARNING_RATE_DYNAMIC": True, "CD": 1, "JOINT_CD": 1,
         "JOINT_LEARNING_RATE": 0.04, "CROSS_GIBBS_STEPS": 2,
-        "JOINT_AUX_COND_STEPS": 2,
+        "JOINT_AUX_COND_STEPS": 2, **extra,
     }
     train, val, _ = create_dataloaders_uniform(
         batch_size=bs, n_samples=n, num_classes=K, side=side, seed=1)

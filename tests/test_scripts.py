@@ -69,3 +69,22 @@ def test_train_bimodal_smoke(tmp_path):
         payload = pickle.load(f)
     assert payload["metadata"]["model_type"] == "iMDBN_BiModal"
     assert len(payload["joint_layers"]) == 1
+
+
+def test_multichip_example_smoke():
+    """examples/multichip_training.py runs end-to-end on the virtual
+    mesh (DP + 2-D TP epochs; losses must print and be finite)."""
+    import re
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        [sys.executable, str(repo / "examples" / "multichip_training.py"),
+         "--virtual", "--epochs", "2"],
+        capture_output=True, text=True, timeout=600, cwd=repo)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    losses = re.findall(r"final loss ([0-9.]+)", proc.stdout)
+    assert len(losses) == 2 and all(float(x) < 1.0 for x in losses), \
+        proc.stdout
