@@ -13,7 +13,7 @@ Usage:
 
 from __future__ import annotations
 
-_FLAGS = {"pallas_chain": False}
+_FLAGS = {"pallas_chain": False, "pallas_cd": False}
 
 
 def enable_pallas_chain(enabled: bool = True) -> None:
@@ -27,3 +27,18 @@ def enable_pallas_chain(enabled: bool = True) -> None:
 
 def pallas_chain_enabled() -> bool:
     return _FLAGS["pallas_chain"]
+
+
+def enable_pallas_cd(enabled: bool = True) -> None:
+    """Route the image-iDBN CD trainer through the fused Pallas
+    sampled-CD path (``ops/pallas_cd.py``: GEMM + sigmoid + Bernoulli in
+    one kernel with on-core PRNG). Targets the sampling-bound CD-10
+    flagship epoch (benchmarks/RESULTS.md round-2 RNG study). Different
+    random stream than threefry (distributionally equal, deterministic
+    per key, NOT bitwise oracle-reproducible); needs a TPU backend —
+    everywhere else the exact jnp path runs regardless of this flag."""
+    _FLAGS["pallas_cd"] = bool(enabled)
+
+
+def pallas_cd_enabled() -> bool:
+    return _FLAGS["pallas_cd"]

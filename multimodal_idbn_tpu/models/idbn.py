@@ -146,6 +146,17 @@ class iDBN:
     def _sparsity_flags(self):
         return tuple(bool(r.sparsity) for r in self.layers)
 
+    def _fast_sampler(self) -> bool:
+        """Opt-in Pallas sampled-CD (config.enable_pallas_cd): TPU-only,
+        groupless (always true for image stacks), not combined with PCD
+        or mixed precision (each changes semantics on its own)."""
+        from multimodal_idbn_tpu import config as _config
+        if not _config.pallas_cd_enabled() or self.use_pcd \
+                or self.compute_dtype is not None:
+            return False
+        from multimodal_idbn_tpu.ops import pallas_kernels
+        return pallas_kernels.sampled_cd_supported()
+
     def _ensure_pcd_chains(self, batch_size: int):
         """Per-layer fantasy particles [batch_size, V_i], created once
         and persisted across train() calls (PCD's defining property)."""
@@ -204,7 +215,8 @@ class iDBN:
                 self.sparsity_factor, cd=self.cd_k,
                 sparsity_flags=self._sparsity_flags(),
                 batch_size=bs, shuffle=False,
-                compute_dtype=self.compute_dtype)
+                compute_dtype=self.compute_dtype,
+                fast_sampler=self._fast_sampler())
         # Reference averages over all (batch, layer) loss entries equally
         # (idbn.py:204-208): accumulate sums so the remainder batch gets
         # per-entry (not per-call) weight.
@@ -273,7 +285,8 @@ class iDBN:
                         cd=self.cd_k,
                         sparsity_flags=self._sparsity_flags(),
                         batch_size=bs, n_epochs=E,
-                        compute_dtype=self.compute_dtype)
+                        compute_dtype=self.compute_dtype,
+                        fast_sampler=self._fast_sampler())
                 self._set_states(states)
             sums = np.asarray(sums)
             counts = np.asarray(counts)

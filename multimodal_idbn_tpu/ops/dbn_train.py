@@ -28,12 +28,32 @@ Array = jax.Array
 States = Tuple[rbm_ops.RBMState, ...]
 
 
+def _layer_update(st, key, v, *, lr, mom, weight_decay, cd, sparsity,
+                  sparsity_factor, compute_dtype, fast_sampler):
+    """One groupless CD update: the exact jnp path, or the opt-in Pallas
+    sampled-CD path (``ops/pallas_cd.py`` — fused GEMM+sigmoid+sample
+    with on-core PRNG; different random stream, reference update order).
+    ``fast_sampler`` is static so the jnp path stays untouched when off.
+    """
+    if fast_sampler:
+        from multimodal_idbn_tpu.ops import pallas_cd
+        return pallas_cd.fast_sampled_cd_update(
+            st, key, v, lr=lr, mom=mom, weight_decay=weight_decay, cd=cd,
+            sparsity=sparsity, sparsity_factor=sparsity_factor)
+    return rbm_ops.cd_update(
+        st, key, v, lr=lr, mom=mom, weight_decay=weight_decay, cd=cd,
+        sparsity=sparsity, sparsity_factor=sparsity_factor, groups=(),
+        compute_dtype=compute_dtype)
+
+
 @partial(jax.jit, static_argnames=("cd", "sparsity_flags", "batch_size",
-                                   "shuffle", "compute_dtype"))
+                                   "shuffle", "compute_dtype",
+                                   "fast_sampler"))
 def idbn_epoch(states: States, key: Array, data: Array, lr, mom,
                weight_decay, sparsity_factor, *, cd: int,
                sparsity_flags: Tuple[bool, ...], batch_size: int,
-               shuffle: bool = False, compute_dtype=None):
+               shuffle: bool = False, compute_dtype=None,
+               fast_sampler: bool = False):
     """One full iDBN epoch on-device.
 
     Args:
@@ -78,12 +98,12 @@ def idbn_epoch(states: States, key: Array, data: Array, lr, mom,
         new_states = []
         losses = []
         for i, st in enumerate(states):
-            st, loss = rbm_ops.cd_update(
+            st, loss = _layer_update(
                 st, jax.random.fold_in(bkey, i), v, lr=lr, mom=mom,
                 weight_decay=weight_decay, cd=cd,
                 sparsity=sparsity_flags[i],
-                sparsity_factor=sparsity_factor, groups=(),
-                compute_dtype=compute_dtype)
+                sparsity_factor=sparsity_factor,
+                compute_dtype=compute_dtype, fast_sampler=fast_sampler)
             # post-update activations feed the next layer (same compute
             # dtype so the whole chain streams bf16 under mixed precision)
             v = rbm_ops.hidden_probs(
@@ -97,12 +117,14 @@ def idbn_epoch(states: States, key: Array, data: Array, lr, mom,
 
 
 @partial(jax.jit, static_argnames=("cd", "sparsity_flags", "batch_size",
-                                   "n_epochs", "compute_dtype"))
+                                   "n_epochs", "compute_dtype",
+                                   "fast_sampler"))
 def idbn_epoch_block(states: States, epoch_key: Array, data: Array,
                      epoch_idx: Array, lr_arr: Array, mom_arr: Array,
                      weight_decay, sparsity_factor, *, cd: int,
                      sparsity_flags: Tuple[bool, ...], batch_size: int,
-                     n_epochs: int, compute_dtype=None):
+                     n_epochs: int, compute_dtype=None,
+                     fast_sampler: bool = False):
     """Run ``n_epochs`` full epochs in ONE dispatch (nested scan).
 
     Each epoch permutes the dataset on-device (exactly-once semantics,
@@ -135,12 +157,13 @@ def idbn_epoch_block(states: States, epoch_key: Array, data: Array,
             new_states = []
             losses = []
             for i, st in enumerate(states):
-                st, loss = rbm_ops.cd_update(
+                st, loss = _layer_update(
                     st, jax.random.fold_in(bkey, i), v, lr=lr, mom=mom,
                     weight_decay=weight_decay, cd=cd,
                     sparsity=sparsity_flags[i],
-                    sparsity_factor=sparsity_factor, groups=(),
-                    compute_dtype=compute_dtype)
+                    sparsity_factor=sparsity_factor,
+                    compute_dtype=compute_dtype,
+                    fast_sampler=fast_sampler)
                 v = rbm_ops.hidden_probs(
                     rbm_ops.compute_cast(st, compute_dtype), v)
                 new_states.append(st)

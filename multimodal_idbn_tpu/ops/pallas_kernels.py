@@ -186,3 +186,153 @@ def hidden_probs_pallas(state, v: Array, T=1.0) -> Array:
 def reference_half_step(v: Array, w: Array, b: Array, T=1.0) -> Array:
     """jnp reference for kernel parity tests."""
     return jax.nn.sigmoid((v @ w + b) / jnp.maximum(1e-6, T))
+
+
+# ---------------------------------------------------------------------------
+# K-tiled fused half-step + sample: handles arbitrary contraction dims
+# (the flagship V=10000 image layer), unlike the VMEM-resident kernels
+# above. Grid (B/bm, H/bn, V/bk); the accumulator lives in VMEM scratch
+# and the in-kernel PRNG draw happens once, on the last k step.
+# ---------------------------------------------------------------------------
+
+def _make_half_step_sample_acc_kernel(transpose_w: bool):
+    """K-tiled fused half-step kernel body. With ``transpose_w`` the w
+    block arrives as the (block_n, block_k) slice of the ORIGINAL [V, H]
+    weights and is transposed on the MXU — so the visible direction
+    (h @ Wᵀ) reuses the same padded W buffer with no host-side
+    transpose/pad per call."""
+
+    def kernel(seed_ref, t_ref, v_ref, w_ref, b_ref, probs_ref,
+               sample_ref, acc_ref):
+        k = pl.program_id(2)
+        nk = pl.num_programs(2)
+
+        @pl.when(k == 0)
+        def _init():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        # bf16 operands + f32 accumulation = XLA's DEFAULT f32-matmul
+        # precision on this MXU (CLAUDE.md); f32×f32 dots take multiple
+        # MXU passes and measured ~2x slower than the jnp path. Precision
+        # must be pinned to DEFAULT explicitly: under the test suite's
+        # jax_default_matmul_precision="highest" a bf16×bf16 dot lowers
+        # to an fp32-contract tpu.matmul that Mosaic rejects ("Bad lhs
+        # type").
+        w = w_ref[:].T if transpose_w else w_ref[:]
+        acc_ref[:] += jax.lax.dot_general(
+            v_ref[:].astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)
+
+        @pl.when(k == nk - 1)
+        def _finish():
+            i = pl.program_id(0)
+            j = pl.program_id(1)
+            linear_id = i * pl.num_programs(1) + j
+            pltpu.prng_seed(seed_ref[0] * jnp.int32(-1640531527)
+                            + linear_id)
+            logits = (acc_ref[:] + b_ref[0, :]) / jnp.maximum(1e-6,
+                                                              t_ref[0])
+            p = jax.nn.sigmoid(logits)
+            probs_ref[:] = p
+            bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape),
+                                 jnp.uint32)
+            u = pltpu.bitcast(bits >> 8, jnp.int32).astype(
+                jnp.float32) * (1.0 / (1 << 24))
+            sample_ref[:] = (p > u).astype(jnp.float32)
+
+    return kernel
+
+
+def half_step_sample_aligned(v: Array, w: Array, b: Array, seed, T=1.0, *,
+                             transpose_w: bool = False,
+                             block_m: int = 128, block_n: int = 256,
+                             block_k: int = 512):
+    """Fused (probs, sample) half-step on PRE-ALIGNED operands.
+
+    ``v [B, K]``, ``b [N]`` and ``w`` ([K, N], or [N, K] with
+    ``transpose_w``) must already be padded to the block multiples —
+    the caller pads W ONCE per update and reuses it for all 2·cd+1
+    half-steps in both directions (padding per call was measured to
+    swamp the sampling savings). Returns padded (probs, sample) [B, N].
+    """
+    B, K = v.shape
+    N = b.shape[0]
+    assert B % block_m == 0 and K % block_k == 0 and N % block_n == 0, (
+        (B, K, N))
+    t = jnp.asarray([T], jnp.float32)
+    seed = jnp.asarray(seed, jnp.int32).reshape(1)
+    if transpose_w:
+        w_spec = pl.BlockSpec((block_n, block_k), lambda i, j, k: (j, k),
+                              memory_space=pltpu.VMEM)
+    else:
+        w_spec = pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j),
+                              memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        _make_half_step_sample_acc_kernel(transpose_w),
+        grid=(B // block_m, N // block_n, K // block_k),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            w_spec,
+            pl.BlockSpec((1, block_n), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, N), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+    )(seed, t, v, w, b.reshape(1, N))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_m", "block_n", "block_k"))
+def half_step_sample_big(v: Array, w: Array, b: Array, seed, T=1.0, *,
+                         block_m: int = 128, block_n: int = 256,
+                         block_k: int = 512):
+    """Fused (probs, Bernoulli sample) half-step with k-tiled contraction.
+
+    Same contract as ``half_step_sample`` but streams W in (bk, bn) tiles
+    with a VMEM accumulator, so any (B, V, H) works — including the
+    flagship [128, 10000] x [10000, 1500] layer where the CD-10 epoch is
+    sampling-bound (benchmarks/RESULTS.md round-2 RNG study). The uniform
+    draw comes from the on-core PRNG (deterministic per (seed, grid
+    cell), distributionally — not bitwise — equal to threefry). The GEMM
+    runs at bf16-operand/f32-accumulate MXU precision — the same as
+    XLA's DEFAULT f32-matmul lowering on this hardware, so probs match
+    production jnp half-steps, not the "highest"-precision ones the
+    numerical test suite pins.
+
+    Standalone convenience wrapper: pads per call. The CD trainer uses
+    ``half_step_sample_aligned`` + one pad per update instead
+    (``ops/pallas_cd.py``) — per-call W padding measurably dominates.
+    """
+    B, V = v.shape
+    H = w.shape[1]
+    Bp = _ceil_to(B, block_m)
+    Hp = _ceil_to(H, block_n)
+    Vp = _ceil_to(V, block_k)
+    vp = jnp.pad(v.astype(jnp.float32), ((0, Bp - B), (0, Vp - V)))
+    wp = jnp.pad(w.astype(jnp.float32), ((0, Vp - V), (0, Hp - H)))
+    bp = jnp.pad(b.astype(jnp.float32), (0, Hp - H))
+    probs, sample = half_step_sample_aligned(
+        vp, wp, bp, seed, T, transpose_w=False, block_m=block_m,
+        block_n=block_n, block_k=block_k)
+    return probs[:B, :H], sample[:B, :H]
+
+
+def sampled_cd_supported() -> bool:
+    """The k-tiled sampled-CD kernels need a TPU backend (the Mosaic
+    PRNG has no CPU interpret mode)."""
+    return HAS_PALLAS and jax.default_backend() in ("tpu", "axon")

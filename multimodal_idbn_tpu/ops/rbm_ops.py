@@ -115,12 +115,20 @@ def _negative_chain(state: RBMState, key: Array, h0: Array, cd: int,
 
     Per step (rbm.py:204-208): v_prob -> v=sample(v_prob) -> h_prob ->
     h=sample(h_prob). Runs as a scan over per-step keys.
+
+    The per-step (kv, kh) derivation is hoisted out of the scan and
+    vectorized (vmapped split over the cd step keys) — bit-identical key
+    VALUES (pinned by tests/test_rbm_oracle.py goldens), but the serial
+    fold/split kernel chain inside the scan body goes away; the round-1
+    CD microbench attributed 30-40% of sampling cost to exactly that
+    in-scan key handling (benchmarks/RESULTS.md).
     """
     keys = jax.random.split(key, cd)
+    kv_kh = jax.vmap(lambda k: jax.random.split(k, 2))(keys)  # [cd, 2]
 
-    def body(carry, step_key):
+    def body(carry, step_keys):
         h, _, _, _ = carry
-        kv, kh = jax.random.split(step_key)
+        kv, kh = step_keys[0], step_keys[1]
         v_prob = visible_probs(state, h, groups=groups)
         v = sample_visible(kv, v_prob, groups)
         h_prob = hidden_probs(state, v)
@@ -130,7 +138,7 @@ def _negative_chain(state: RBMState, key: Array, h0: Array, cd: int,
     B = h0.shape[0]
     v0 = jnp.zeros((B, state.vb.shape[0]), h0.dtype)
     (h, v, v_prob, h_prob), _ = jax.lax.scan(
-        body, (h0, v0, v0, h0), keys)
+        body, (h0, v0, v0, h0), kv_kh)
     return v, v_prob, h_prob
 
 
@@ -329,9 +337,12 @@ def conditional_gibbs(state: RBMState, key: Array, v_known: Array,
     v = v_known * km + (1.0 - km) * jax.random.uniform(k0, v_known.shape,
                                                        v_known.dtype)
     keys = jax.random.split(kloop, max(1, int(n_steps)))
+    # (kh, kv) hoisted+vmapped out of the scan: bit-identical key values,
+    # no serial in-scan split kernels (see _negative_chain).
+    kv_kh = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
 
-    def body(v, step_key):
-        kh, kv = jax.random.split(step_key)
+    def body(v, step_keys):
+        kh, kv = step_keys[0], step_keys[1]
         h_prob = hidden_probs(state, v)
         h = sample_bernoulli(kh, h_prob) if sample_h else h_prob
         v_prob = visible_probs(state, h, groups=groups)
@@ -341,7 +352,7 @@ def conditional_gibbs(state: RBMState, key: Array, v_known: Array,
         return v, None
 
     if int(n_steps) > 0:
-        v, _ = jax.lax.scan(body, v, keys)
+        v, _ = jax.lax.scan(body, v, kv_kh)
     return visible_probs(state, hidden_probs(state, v), groups=groups)
 
 
@@ -372,10 +383,11 @@ def conditional_gibbs_annealed(state: RBMState, key: Array, v_known: Array,
     else:
         sv_mask = jnp.zeros((n_steps,), bool)
     keys = jax.random.split(kloop, max(1, n_steps))
+    kv_kh = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
 
     def body(v, xs):
-        Tt, is_hot, do_sv, step_key = xs
-        kh, kv = jax.random.split(step_key)
+        Tt, is_hot, do_sv, step_keys = xs
+        kh, kv = step_keys[0], step_keys[1]
         h_prob = hidden_probs(state, v, T=Tt)
         h = jnp.where(is_hot, sample_bernoulli(kh, h_prob), h_prob)
         v_prob = visible_probs(state, h, T=Tt, groups=groups)
@@ -383,7 +395,7 @@ def conditional_gibbs_annealed(state: RBMState, key: Array, v_known: Array,
         return clamp_mask(v_new, v_known, km), None
 
     if n_steps > 0:
-        v, _ = jax.lax.scan(body, v, (T_arr, hot_mask, sv_mask, keys))
+        v, _ = jax.lax.scan(body, v, (T_arr, hot_mask, sv_mask, kv_kh))
     if final_meanfield:
         h_prob = hidden_probs(state, v, T=1.0)
         v = clamp_mask(visible_probs(state, h_prob, T=1.0, groups=groups),
@@ -421,11 +433,12 @@ def noisy_meanfield_annealed(state: RBMState, key: Array, v_known: Array,
     sig_arr = schedules.noise_sigma(n_steps, sigma0)
     eta_arr = schedules.mu_pull_eta(n_steps, eta0)
     keys = jax.random.split(kloop, max(1, n_steps))
+    kv_kh = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
     noisy = bool(sigma0 > 0)  # static: skip RNG entirely when σ0 == 0
 
     def body(v, xs):
-        Tt, sig_t, eta_t, step_key = xs
-        kh, kv = jax.random.split(step_key)
+        Tt, sig_t, eta_t, step_keys = xs
+        kh, kv = step_keys[0], step_keys[1]
         h_logits = hidden_logits(state, v, T=Tt)
         if noisy:
             h_logits = h_logits + jax.random.normal(kh, h_logits.shape,
@@ -444,7 +457,7 @@ def noisy_meanfield_annealed(state: RBMState, key: Array, v_known: Array,
         return clamp_mask(v_prob, v_known, km), None
 
     if n_steps > 0:
-        v, _ = jax.lax.scan(body, v, (T_arr, sig_arr, eta_arr, keys))
+        v, _ = jax.lax.scan(body, v, (T_arr, sig_arr, eta_arr, kv_kh))
     return v
 
 
@@ -485,9 +498,10 @@ def clamped_cd_update(state: RBMState, key: Array, v_known: Array,
     pos_assoc = v_plus.T @ h_plus
 
     keys = jax.random.split(k_neg, max(1, int(cd)))
+    kv_kh = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
 
-    def body(v_neg, step_key):
-        kh, kv = jax.random.split(step_key)
+    def body(v_neg, step_keys):
+        kh, kv = step_keys[0], step_keys[1]
         h_prob = hidden_probs(state, v_neg)
         h = sample_bernoulli(kh, h_prob) if sample_h else h_prob
         v_prob = visible_probs(state, h, groups=groups)
@@ -501,7 +515,7 @@ def clamped_cd_update(state: RBMState, key: Array, v_known: Array,
 
     v_neg = v_plus
     if int(cd) > 0:
-        v_neg, _ = jax.lax.scan(body, v_neg, keys)
+        v_neg, _ = jax.lax.scan(body, v_neg, kv_kh)
 
     h_neg = hidden_probs(state, v_neg)
     neg_assoc = v_neg.T @ h_neg
