@@ -79,6 +79,27 @@ def main():
     shard = states[0].w.addressable_shards[0].data.shape
     print(f"W[0] global {tuple(states[0].w.shape)}, per-device {shard}")
 
+    # --- Shell-level: the same DP path from the user-facing model API
+    # (params["DP_DEVICES"], or a `training: dp_devices:` config key for
+    # scripts/train_multimodal.py).
+    from multimodal_idbn_tpu.models import iDBN
+
+    class Loader:
+        batch_size = BS
+
+        def materialize(self):
+            return data, np.zeros(N, np.int64)
+
+    params = {"LEARNING_RATE": 0.1, "WEIGHT_PENALTY": 1e-4,
+              "INIT_MOMENTUM": 0.5, "FINAL_MOMENTUM": 0.95,
+              "LEARNING_RATE_DYNAMIC": True, "CD": 1, "SEED": 0,
+              "DP_DEVICES": "all"}
+    model = iDBN([V, H1, H2], params=params, dataloader=Loader(),
+                 val_loader=None, seed=0)
+    model.train(args.epochs, log_every_pca=10**9, log_every_probe=10**9)
+    print(f"iDBN(DP_DEVICES=all) over {model.mesh.devices.size} devices: "
+          f"final loss {model.loss_history[-1]:.4f}")
+
 
 if __name__ == "__main__":
     main()

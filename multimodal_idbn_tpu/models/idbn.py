@@ -114,6 +114,11 @@ class iDBN:
         # rbm_ops.pcd_update; the reference trains plain CD-k only).
         self.use_pcd = bool(self.params.get("PCD", False))
         self._pcd_chains = None
+        # params["DP_DEVICES"]=N|"all": data-parallel training over a 1-D
+        # device mesh (framework extension — the reference is single-device,
+        # SURVEY.md §2 row 20). Built lazily at train time; see set_mesh().
+        self.mesh = None
+        self._dp_devices = self.params.get("DP_DEVICES")
         self._layer_sizes = list(layer_sizes)
         self._init_seed = seed
         for i in range(len(layer_sizes) - 1):
@@ -152,10 +157,32 @@ class iDBN:
         or mixed precision (each changes semantics on its own)."""
         from multimodal_idbn_tpu import config as _config
         if not _config.pallas_cd_enabled() or self.use_pcd \
-                or self.compute_dtype is not None:
+                or self.compute_dtype is not None or self.mesh is not None:
             return False
         from multimodal_idbn_tpu.ops import pallas_kernels
         return pallas_kernels.sampled_cd_supported()
+
+    def set_mesh(self, mesh) -> None:
+        """Enable data-parallel training: batch sharded over a 1-D device
+        mesh, parameters replicated, CD statistics all-reduced over ICI
+        (``parallel.dp_idbn_epoch``). ``mesh`` may be a
+        ``jax.sharding.Mesh``, a device count, ``"all"``, or ``None`` to
+        disable. Counter-based threefry keeps results invariant to device
+        count up to reduction order (tests/test_parallel.py)."""
+        from multimodal_idbn_tpu.parallel import resolve_mesh
+        self.mesh = resolve_mesh(mesh)
+
+    def _resolve_mesh(self):
+        """Build the mesh from params["DP_DEVICES"] on first use."""
+        if self.mesh is None and self._dp_devices:
+            self.set_mesh(self._dp_devices)
+            self._dp_devices = None
+        if self.mesh is not None and (self.use_pcd
+                                      or self.compute_dtype is not None):
+            raise ValueError(
+                "data-parallel training (DP_DEVICES/set_mesh) supports "
+                "the default f32 CD path only — not PCD or COMPUTE_DTYPE")
+        return self.mesh
 
     def _ensure_pcd_chains(self, batch_size: int):
         """Per-layer fantasy particles [batch_size, V_i], created once
@@ -209,6 +236,17 @@ class iDBN:
                 lr, mom, wd, self.sparsity_factor, cd=self.cd_k,
                 sparsity_flags=self._sparsity_flags(), batch_size=bs,
                 shuffle=False, compute_dtype=self.compute_dtype)
+        elif self.mesh is not None:
+            # Data-parallel epoch: the [nb*bs] slice keeps the batch count
+            # identical to the single-device path (dp_idbn_epoch would
+            # otherwise trim N to a device-divisible length itself); the
+            # remainder step below runs replicated.
+            from multimodal_idbn_tpu.parallel import dp_idbn_epoch
+            states, losses = dp_idbn_epoch(
+                self.mesh, self._states(), key, data_p[:(n // bs) * bs],
+                lr, mom, wd, self.sparsity_factor, cd=self.cd_k,
+                sparsity_flags=self._sparsity_flags(), batch_size=bs,
+                shuffle=False)
         else:
             states, losses = dbn_train.idbn_epoch(
                 self._states(), key, data_p, lr, mom, wd,
@@ -244,6 +282,11 @@ class iDBN:
         """
         if fused is None:
             fused = hasattr(self.dataloader, "materialize")
+        mesh = self._resolve_mesh()
+        if mesh is not None and not fused:
+            raise ValueError("data-parallel training needs the fused "
+                             "epoch path (a dataloader with "
+                             ".materialize(), or fused=True)")
         data = None
         if fused:
             imgs = self.dataloader.materialize()[0]
@@ -277,6 +320,19 @@ class iDBN:
                         sparsity_flags=self._sparsity_flags(),
                         batch_size=bs, n_epochs=E,
                         compute_dtype=self.compute_dtype)
+                elif mesh is not None:
+                    # Blocked DP: same single dispatch, batch axis sharded
+                    # over the mesh (identical key derivation, so results
+                    # match single-device to reduction order).
+                    from multimodal_idbn_tpu.parallel import (
+                        dp_idbn_epoch_block)
+                    states, sums, counts = dp_idbn_epoch_block(
+                        mesh, self._states(), epoch_key, data,
+                        jnp.arange(E, dtype=jnp.int32), lr_arr, mom_arr,
+                        self.layers[0].weight_decay, self.sparsity_factor,
+                        cd=self.cd_k,
+                        sparsity_flags=self._sparsity_flags(),
+                        batch_size=bs, n_epochs=E)
                 else:
                     states, sums, counts = dbn_train.idbn_epoch_block(
                         self._states(), epoch_key, data,

@@ -122,6 +122,13 @@ class iMDBN:
         self.reference_best_of_k_bug = True
         self.z_class_mean: Optional[jax.Array] = None
 
+        # params["DP_DEVICES"]=N|"all": data-parallel joint training over
+        # a 1-D mesh (framework extension, SURVEY.md §2 row 20 is absent
+        # in the reference). The image iDBN reads the same key from the
+        # shared params dict, so one knob scales both phases.
+        self.mesh = None
+        self._dp_devices = self.params.get("DP_DEVICES")
+
         # Validation features via the Subset metadata protocol
         # (imdbn.py:170-187).
         self.features = None
@@ -172,6 +179,20 @@ class iMDBN:
 
     def _joint_groups(self) -> Tuple[Tuple[int, int], ...]:
         return ((self.Dz_img, self.Dz_img + self.num_labels),)
+
+    def set_mesh(self, mesh) -> None:
+        """Enable data-parallel training for BOTH phases: the image iDBN
+        epochs and the joint epochs (``parallel.dp_joint_epoch``). Accepts
+        a ``jax.sharding.Mesh``, a device count, ``"all"``, or ``None``."""
+        from multimodal_idbn_tpu.parallel import resolve_mesh
+        self.mesh = resolve_mesh(mesh)
+        self.image_idbn.set_mesh(self.mesh)
+
+    def _resolve_mesh(self):
+        if self.mesh is None and self._dp_devices:
+            self.set_mesh(self._dp_devices)
+            self._dp_devices = None
+        return self.mesh
 
     # -- data-dependent init (imdbn.py:217-292) -----------------------------------
 
@@ -397,6 +418,11 @@ class iMDBN:
 
         if fused is None:
             fused = hasattr(self.dataloader, "materialize")
+        mesh = self._resolve_mesh()
+        if mesh is not None and not fused:
+            raise ValueError("data-parallel joint training needs the "
+                             "fused epoch path (a dataloader with "
+                             ".materialize(), or fused=True)")
 
         aux_cond_steps = int(self.params.get("JOINT_AUX_COND_STEPS", 10))
         metrics_every = int(self.params.get("CROSS_METRICS_EVERY", 1))
@@ -420,9 +446,10 @@ class iMDBN:
             # object, so run the warmup epochs and the main epochs as two
             # dispatches (nested scans) — identical key derivation to the
             # per-epoch path, tunnel latency paid twice instead of E times.
+            # With a mesh the same blocks run batch-sharded (DP).
             self._train_joint_blocked(int(epochs), epoch_key, X, Y, Z,
                                       idbn_states, bs, n, aux_cond_steps,
-                                      metrics_every, timer)
+                                      metrics_every, timer, mesh=mesh)
             self.epoch_timer = timer
             print("[iMDBN] joint training finished.")
             return
@@ -444,16 +471,30 @@ class iMDBN:
                     perm = jax.random.permutation(
                         jax.random.fold_in(key, 0), n)
                     Zp, Yp, Xp = Z[perm], Y[perm], X[perm]
-                    joint, mean_cd, totals = imdbn_ops.joint_epoch(
-                        jr.state, idbn_states, key, Zp, Yp, Xp, lr, mom,
-                        jr.weight_decay, self.z_class_mean, warmup=warmup,
-                        joint_cd=self.joint_cd,
+                    statics = dict(
+                        warmup=warmup, joint_cd=self.joint_cd,
                         aux_cond_steps=aux_cond_steps,
                         Dz=self.Dz_img, steps=self.cross_steps,
                         groups=self._joint_groups(),
                         use_free_energy=not self.reference_best_of_k_bug,
                         zclamp_every=50, batch_size=bs,
                         metrics_every=metrics_every, shuffle=False)
+                    if mesh is not None:
+                        # The [nb*bs] slice keeps the batch count identical
+                        # to the single-device path (dp_joint_epoch would
+                        # otherwise trim N to a device-divisible length).
+                        from multimodal_idbn_tpu.parallel import (
+                            dp_joint_epoch)
+                        joint, mean_cd, totals = dp_joint_epoch(
+                            mesh, jr.state, idbn_states, key,
+                            Zp[:nb * bs], Yp[:nb * bs], Xp[:nb * bs],
+                            lr, mom, jr.weight_decay, self.z_class_mean,
+                            **statics)
+                    else:
+                        joint, mean_cd, totals = imdbn_ops.joint_epoch(
+                            jr.state, idbn_states, key, Zp, Yp, Xp, lr,
+                            mom, jr.weight_decay, self.z_class_mean,
+                            **statics)
                     rem = n - nb * bs
                     cd_losses = [] if warmup else [float(mean_cd)] * nb
                     if rem:
@@ -494,7 +535,7 @@ class iMDBN:
 
     def _train_joint_blocked(self, epochs, epoch_key, X, Y, Z, idbn_states,
                              bs, n, aux_cond_steps, metrics_every,
-                             timer) -> None:
+                             timer, mesh=None) -> None:
         """Run joint training as (warmup, main) epoch blocks — one
         dispatch each — with RNG identical to the per-epoch path."""
         from multimodal_idbn_tpu.ops.schedules import (
@@ -521,18 +562,28 @@ class iMDBN:
             mom_arr = jnp.asarray(
                 [effective_momentum(jr.momentum, jr.final_momentum, e)
                  for e in range(start, end)], jnp.float32)
+            statics = dict(
+                warmup=warmup, joint_cd=self.joint_cd,
+                aux_cond_steps=aux_cond_steps, Dz=self.Dz_img,
+                steps=self.cross_steps, groups=self._joint_groups(),
+                use_free_energy=not self.reference_best_of_k_bug,
+                zclamp_every=50, batch_size=bs,
+                metrics_every=metrics_every, n_epochs=E)
             with timer.step(E):
-                joint, cd_sums, cd_counts, totals = (
-                    imdbn_ops.joint_epoch_block(
-                        joint, idbn_states, epoch_key, Z, Y, X, idx,
-                        lr_arr, mom_arr, jr.weight_decay,
-                        self.z_class_mean, warmup=warmup,
-                        joint_cd=self.joint_cd,
-                        aux_cond_steps=aux_cond_steps, Dz=self.Dz_img,
-                        steps=self.cross_steps, groups=self._joint_groups(),
-                        use_free_energy=not self.reference_best_of_k_bug,
-                        zclamp_every=50, batch_size=bs,
-                        metrics_every=metrics_every, n_epochs=E))
+                if mesh is not None:
+                    from multimodal_idbn_tpu.parallel import (
+                        dp_joint_epoch_block)
+                    joint, cd_sums, cd_counts, totals = (
+                        dp_joint_epoch_block(
+                            mesh, joint, idbn_states, epoch_key, Z, Y, X,
+                            idx, lr_arr, mom_arr, jr.weight_decay,
+                            self.z_class_mean, **statics))
+                else:
+                    joint, cd_sums, cd_counts, totals = (
+                        imdbn_ops.joint_epoch_block(
+                            joint, idbn_states, epoch_key, Z, Y, X, idx,
+                            lr_arr, mom_arr, jr.weight_decay,
+                            self.z_class_mean, **statics))
             # Per-epoch metric curves (the block computes them anyway) —
             # kept on the model so blocked runs still expose history.
             per_epoch = [np.asarray(t) for t in totals]

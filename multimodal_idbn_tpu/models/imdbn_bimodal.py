@@ -354,6 +354,12 @@ class iMDBN_BiModal:
                                             self.params.get("CD", 1)))
         self.cross_steps = int(self.params.get("CROSS_GIBBS_STEPS", 50))
 
+        # params["DP_DEVICES"]=N|"all": data-parallel training (framework
+        # extension; reference is single-device). The modality iDBNs read
+        # the same key from the shared params dict.
+        self.mesh = None
+        self._dp_devices = self.params.get("DP_DEVICES")
+
         try:
             vb_mod1, vb_mod2 = next(iter(val_loader))
             self.validation_mod1 = as_array(vb_mod1)[:8]
@@ -576,6 +582,21 @@ class iMDBN_BiModal:
 
     # -- joint training (reference :711-961) -----------------------------------
 
+    def set_mesh(self, mesh) -> None:
+        """Enable data-parallel training for all three phases (both
+        modality iDBNs + the joint DBN). Accepts a ``jax.sharding.Mesh``,
+        a device count, ``"all"``, or ``None``."""
+        from multimodal_idbn_tpu.parallel import resolve_mesh
+        self.mesh = resolve_mesh(mesh)
+        self.mod1_dbn.set_mesh(self.mesh)
+        self.mod2_dbn.set_mesh(self.mesh)
+
+    def _resolve_mesh(self):
+        if self.mesh is None and self._dp_devices:
+            self.set_mesh(self._dp_devices)
+            self._dp_devices = None
+        return self.mesh
+
     def _joint_states(self):
         return tuple(r.state for r in self.joint_layers)
 
@@ -595,6 +616,11 @@ class iMDBN_BiModal:
 
         if fused is None:
             fused = hasattr(self.dataloader, "materialize")
+        mesh = self._resolve_mesh()
+        if mesh is not None and not fused:
+            raise ValueError("data-parallel joint training needs the "
+                             "fused epoch path (a dataloader with "
+                             ".materialize(), or fused=True)")
         aux_cond_steps = int(self.params.get("JOINT_AUX_COND_STEPS", 30))
         metrics_every = int(self.params.get("CROSS_METRICS_EVERY", 1))
         epoch_key = jax.random.key(self.params.get("SEED", 0) + 11)
@@ -635,14 +661,25 @@ class iMDBN_BiModal:
                 mom_arr = jnp.asarray(
                     [effective_momentum(jr.momentum, jr.final_momentum, e)
                      for e in range(start, end)], jnp.float32)
-                joint, cd_sums, cd_counts, totals = (
-                    bimodal_ops.bimodal_epoch_block(
-                        joint, mod1_states, mod2_states, epoch_key, Z1,
-                        Z2, V1, V2, idx, lr_arr, mom_arr, jr.weight_decay,
-                        warmup=warmup, joint_cd=self.joint_cd,
-                        aux_cond_steps=aux_cond_steps, Dz1=self.Dz_mod1,
-                        steps=self.cross_steps, batch_size=bs,
-                        metrics_every=metrics_every, n_epochs=end - start))
+                statics = dict(
+                    warmup=warmup, joint_cd=self.joint_cd,
+                    aux_cond_steps=aux_cond_steps, Dz1=self.Dz_mod1,
+                    steps=self.cross_steps, batch_size=bs,
+                    metrics_every=metrics_every, n_epochs=end - start)
+                if mesh is not None:
+                    from multimodal_idbn_tpu.parallel import (
+                        dp_bimodal_epoch_block)
+                    joint, cd_sums, cd_counts, totals = (
+                        dp_bimodal_epoch_block(
+                            mesh, joint, mod1_states, mod2_states,
+                            epoch_key, Z1, Z2, V1, V2, idx, lr_arr,
+                            mom_arr, jr.weight_decay, **statics))
+                else:
+                    joint, cd_sums, cd_counts, totals = (
+                        bimodal_ops.bimodal_epoch_block(
+                            joint, mod1_states, mod2_states, epoch_key,
+                            Z1, Z2, V1, V2, idx, lr_arr, mom_arr,
+                            jr.weight_decay, **statics))
                 final_totals = bimodal_ops.BimodalMetrics(
                     *(np.asarray(t)[-1] for t in totals))
             self._set_joint_states(joint)
@@ -667,13 +704,25 @@ class iMDBN_BiModal:
                 # unselected shuffle tail (each sample trains once/epoch).
                 perm = jax.random.permutation(jax.random.fold_in(key, 0), n)
                 Z1p, Z2p, V1p, V2p = (a[perm] for a in (Z1, Z2, V1, V2))
-                joint, mean_cd, totals = bimodal_ops.bimodal_joint_epoch(
-                    self._joint_states(), mod1_states, mod2_states, key,
-                    Z1p, Z2p, V1p, V2p, lr, mom, jr.weight_decay,
+                statics = dict(
                     warmup=warmup, joint_cd=self.joint_cd,
                     aux_cond_steps=aux_cond_steps, Dz1=self.Dz_mod1,
                     steps=self.cross_steps, batch_size=bs,
                     metrics_every=metrics_every, shuffle=False)
+                if mesh is not None:
+                    from multimodal_idbn_tpu.parallel import (
+                        dp_bimodal_joint_epoch)
+                    joint, mean_cd, totals = dp_bimodal_joint_epoch(
+                        mesh, self._joint_states(), mod1_states,
+                        mod2_states, key, Z1p[:nb * bs], Z2p[:nb * bs],
+                        V1p[:nb * bs], V2p[:nb * bs], lr, mom,
+                        jr.weight_decay, **statics)
+                else:
+                    joint, mean_cd, totals = (
+                        bimodal_ops.bimodal_joint_epoch(
+                            self._joint_states(), mod1_states,
+                            mod2_states, key, Z1p, Z2p, V1p, V2p, lr,
+                            mom, jr.weight_decay, **statics))
                 rem = n - nb * bs
                 cd_losses = [] if warmup else [float(mean_cd)] * nb
                 if rem:

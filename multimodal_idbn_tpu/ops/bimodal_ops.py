@@ -146,15 +146,26 @@ def _bimodal_train_batch(joint: States, mod1_states, mod2_states, key, z1,
     return tuple(layers), cd_loss, m
 
 
+def _constrain(batches, mesh, shard_axis):
+    """Pin the per-step batch axis of [nb, bs, D] sharded over the mesh
+    (no-op without a mesh — see parallel.dp_bimodal_epoch*)."""
+    if mesh is None or shard_axis is None:
+        return batches
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return jax.lax.with_sharding_constraint(
+        batches, NamedSharding(mesh, P(None, shard_axis, None)))
+
+
 @partial(jax.jit,
          static_argnames=("warmup", "joint_cd", "aux_cond_steps", "Dz1",
-                          "steps", "batch_size", "metrics_every", "shuffle"))
+                          "steps", "batch_size", "metrics_every", "shuffle",
+                          "mesh", "shard_axis"))
 def bimodal_joint_epoch(joint: States, mod1_states, mod2_states, key,
                         Z1: Array, Z2: Array, V1: Array, V2: Array, lr, mom,
                         weight_decay, *, warmup: bool, joint_cd: int,
                         aux_cond_steps: int, Dz1: int, steps: int,
                         batch_size: int, metrics_every: int = 1,
-                        shuffle: bool = False):
+                        shuffle: bool = False, mesh=None, shard_axis=None):
     """One fused bimodal joint epoch over precomputed latents."""
     n = Z1.shape[0]
     nb = n // batch_size
@@ -170,7 +181,10 @@ def bimodal_joint_epoch(joint: States, mod1_states, mod2_states, key,
         def reshape(X):
             return X[:nb * batch_size].reshape(nb, batch_size, -1)
 
-    xs = (reshape(Z1), reshape(Z2), reshape(V1), reshape(V2),
+    xs = (_constrain(reshape(Z1), mesh, shard_axis),
+          _constrain(reshape(Z2), mesh, shard_axis),
+          _constrain(reshape(V1), mesh, shard_axis),
+          _constrain(reshape(V2), mesh, shard_axis),
           jax.random.split(kscan, nb), jnp.arange(nb, dtype=jnp.int32))
 
     def body(carry, x):
@@ -204,14 +218,15 @@ def bimodal_joint_epoch(joint: States, mod1_states, mod2_states, key,
 @partial(jax.jit,
          static_argnames=("warmup", "joint_cd", "aux_cond_steps", "Dz1",
                           "steps", "batch_size", "metrics_every",
-                          "n_epochs"))
+                          "n_epochs", "mesh", "shard_axis"))
 def bimodal_epoch_block(joint: States, mod1_states, mod2_states,
                         epoch_key: Array, Z1: Array, Z2: Array, V1: Array,
                         V2: Array, epoch_idx: Array, lr_arr: Array,
                         mom_arr: Array, weight_decay, *, warmup: bool,
                         joint_cd: int, aux_cond_steps: int, Dz1: int,
                         steps: int, batch_size: int,
-                        metrics_every: int = 1, n_epochs: int = 1):
+                        metrics_every: int = 1, n_epochs: int = 1,
+                        mesh=None, shard_axis=None):
     """Run ``n_epochs`` bimodal joint epochs in ONE dispatch (nested scan)
     with the per-epoch key derivation of the unblocked path — blocked and
     per-epoch training are bit-identical. Returns
@@ -233,7 +248,9 @@ def bimodal_epoch_block(joint: States, mod1_states, mod2_states,
 
         if nb > 0:
             def cut(X):
-                return X[:nb * batch_size].reshape(nb, batch_size, -1)
+                return _constrain(
+                    X[:nb * batch_size].reshape(nb, batch_size, -1),
+                    mesh, shard_axis)
 
             step_keys = jax.random.split(kscan, nb)
 

@@ -46,14 +46,24 @@ def _layer_update(st, key, v, *, lr, mom, weight_decay, cd, sparsity,
         compute_dtype=compute_dtype)
 
 
+def _constrain_batches(batches, mesh, shard_axis):
+    """Pin the per-step batch axis of [nb, bs, V] sharded over the mesh
+    (no-op without a mesh)."""
+    if mesh is None or shard_axis is None:
+        return batches
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return jax.lax.with_sharding_constraint(
+        batches, NamedSharding(mesh, P(None, shard_axis, None)))
+
+
 @partial(jax.jit, static_argnames=("cd", "sparsity_flags", "batch_size",
                                    "shuffle", "compute_dtype",
-                                   "fast_sampler"))
+                                   "fast_sampler", "mesh", "shard_axis"))
 def idbn_epoch(states: States, key: Array, data: Array, lr, mom,
                weight_decay, sparsity_factor, *, cd: int,
                sparsity_flags: Tuple[bool, ...], batch_size: int,
                shuffle: bool = False, compute_dtype=None,
-               fast_sampler: bool = False):
+               fast_sampler: bool = False, mesh=None, shard_axis=None):
     """One full iDBN epoch on-device.
 
     Args:
@@ -72,6 +82,11 @@ def idbn_epoch(states: States, key: Array, data: Array, lr, mom,
     BEFORE the epoch so the remainder is exactly the unselected tail
     (with the internal shuffle, the fixed tail would be over/under-
     sampled — each sample must train exactly once per epoch).
+
+    With ``mesh``/``shard_axis`` set (data parallelism, see
+    ``parallel.dp_idbn_epoch``), each scan step's batch axis is pinned
+    sharded over the mesh; GSPMD turns the CD batch-contractions into
+    local matmuls + ICI all-reduce.
     """
     n = data.shape[0]
     nb = n // batch_size
@@ -90,6 +105,7 @@ def idbn_epoch(states: States, key: Array, data: Array, lr, mom,
     else:  # static slice: no gather, no index buffer
         batches = data[:nb * batch_size].reshape(nb, batch_size,
                                                  data.shape[1])
+    batches = _constrain_batches(batches, mesh, shard_axis)
     step_keys = jax.random.split(kscan, nb)
 
     def body(states, xs):
@@ -118,13 +134,14 @@ def idbn_epoch(states: States, key: Array, data: Array, lr, mom,
 
 @partial(jax.jit, static_argnames=("cd", "sparsity_flags", "batch_size",
                                    "n_epochs", "compute_dtype",
-                                   "fast_sampler"))
+                                   "fast_sampler", "mesh", "shard_axis"))
 def idbn_epoch_block(states: States, epoch_key: Array, data: Array,
                      epoch_idx: Array, lr_arr: Array, mom_arr: Array,
                      weight_decay, sparsity_factor, *, cd: int,
                      sparsity_flags: Tuple[bool, ...], batch_size: int,
                      n_epochs: int, compute_dtype=None,
-                     fast_sampler: bool = False):
+                     fast_sampler: bool = False, mesh=None,
+                     shard_axis=None):
     """Run ``n_epochs`` full epochs in ONE dispatch (nested scan).
 
     Each epoch permutes the dataset on-device (exactly-once semantics,
@@ -173,8 +190,10 @@ def idbn_epoch_block(states: States, epoch_key: Array, data: Array,
         loss_sum = jnp.zeros((), jnp.float32)
         count = jnp.zeros((), jnp.float32)
         if nb > 0:
-            batches = data_p[:nb * batch_size].reshape(
-                nb, batch_size, data.shape[1])
+            batches = _constrain_batches(
+                data_p[:nb * batch_size].reshape(nb, batch_size,
+                                                 data.shape[1]),
+                mesh, shard_axis)
             states, losses = jax.lax.scan(body, states,
                                           (batches, step_keys))
             loss_sum = losses.sum()

@@ -340,7 +340,7 @@ def joint_epoch(joint: rbm_ops.RBMState, idbn_states, key: Array, Z: Array,
          static_argnames=("warmup", "joint_cd", "aux_cond_steps", "Dz",
                           "steps", "groups", "use_free_energy",
                           "zclamp_every", "batch_size", "metrics_every",
-                          "n_epochs"))
+                          "n_epochs", "mesh", "shard_axis"))
 def joint_epoch_block(joint: rbm_ops.RBMState, idbn_states,
                       epoch_key: Array, Z: Array, Y: Array, IMG: Array,
                       epoch_idx: Array, lr_arr: Array, mom_arr: Array,
@@ -349,7 +349,8 @@ def joint_epoch_block(joint: rbm_ops.RBMState, idbn_states,
                       steps: int, groups: SoftmaxGroups,
                       use_free_energy: bool = False,
                       zclamp_every: int = 50, batch_size: int = 128,
-                      metrics_every: int = 1, n_epochs: int = 1):
+                      metrics_every: int = 1, n_epochs: int = 1,
+                      mesh=None, shard_axis=None):
     """Run ``n_epochs`` joint epochs in ONE dispatch (nested scan),
     amortizing per-call tunnel latency. Identical key derivation to the
     per-epoch path (``fold_in(epoch_key, epoch_idx)``) so blocked and
@@ -376,6 +377,12 @@ def joint_epoch_block(joint: rbm_ops.RBMState, idbn_states,
             Zb = Zp[:nb * batch_size].reshape(nb, batch_size, -1)
             Yb = Yp[:nb * batch_size].reshape(nb, batch_size, -1)
             Ib = Ip[:nb * batch_size].reshape(nb, batch_size, -1)
+            if mesh is not None and shard_axis is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                sh = NamedSharding(mesh, P(None, shard_axis, None))
+                Zb = jax.lax.with_sharding_constraint(Zb, sh)
+                Yb = jax.lax.with_sharding_constraint(Yb, sh)
+                Ib = jax.lax.with_sharding_constraint(Ib, sh)
             step_keys = jax.random.split(kscan, nb)
 
             def body(carry, bxs):

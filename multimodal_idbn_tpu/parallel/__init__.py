@@ -16,12 +16,17 @@ from multimodal_idbn_tpu.parallel.distributed import (  # noqa: F401
 )
 from multimodal_idbn_tpu.parallel.data_parallel import (  # noqa: F401
     batch_sharding,
+    dp_bimodal_epoch_block,
+    dp_bimodal_joint_epoch,
     dp_cd_update,
     dp_idbn_epoch,
+    dp_idbn_epoch_block,
     dp_joint_epoch,
+    dp_joint_epoch_block,
     make_mesh,
     pad_to_multiple,
     replicate,
+    resolve_mesh,
     shard_batch,
 )
 from multimodal_idbn_tpu.parallel.mesh2d import (  # noqa: F401

@@ -54,6 +54,24 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.array(devices), (axis_name,))
 
 
+def resolve_mesh(spec) -> Optional[Mesh]:
+    """Normalize a user-facing mesh spec into a ``Mesh`` (or ``None``).
+
+    Accepts: ``None`` (no DP), a ``Mesh`` (used as-is), an int device
+    count, or ``"all"`` (every visible device). This is what the model
+    shells' ``set_mesh`` / ``params["DP_DEVICES"]`` accept.
+    """
+    if spec is None:
+        return None
+    if isinstance(spec, Mesh):
+        return spec
+    if isinstance(spec, str):
+        if spec.lower() == "all":
+            return make_mesh()
+        spec = int(spec)
+    return make_mesh(int(spec))
+
+
 def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
     """Shard axis 0 (batch) over the mesh; other axes replicated."""
     axis = mesh.axis_names[0]
@@ -126,6 +144,19 @@ def dp_cd_update(mesh: Mesh, state: rbm_ops.RBMState, key: Array,
                           sparsity_factor=sparsity_factor, groups=groups)
 
 
+def _shard_or_replicate(mesh: Mesh, data):
+    """Shard the dataset's batch axis when it divides across the mesh;
+    otherwise replicate it (N is preserved either way — trimming would
+    silently change the batch/remainder split vs the single-device path;
+    the per-step ``with_sharding_constraint`` inside the fused epochs
+    distributes the compute in both cases)."""
+    n_dev = int(np.prod(mesh.devices.shape))
+    data = jnp.asarray(data, jnp.float32)
+    if data.shape[0] % n_dev == 0:
+        return jax.device_put(data, batch_sharding(mesh, data.ndim))
+    return jax.device_put(data, replicated(mesh))
+
+
 def dp_idbn_epoch(mesh: Mesh, states, key: Array, data, lr, mom,
                   weight_decay, sparsity_factor, *, cd: int,
                   sparsity_flags, batch_size: int, shuffle: bool = False):
@@ -134,18 +165,41 @@ def dp_idbn_epoch(mesh: Mesh, states, key: Array, data, lr, mom,
     The dataset lives sharded in HBM across the mesh; each scan step's
     [B, V] batch keeps its batch dim sharded (explicit
     ``with_sharding_constraint`` so the gather/reshape doesn't re-layout),
-    and the per-layer CD statistics all-reduce over ICI.
+    and the per-layer CD statistics all-reduce over ICI. Delegates to the
+    SAME jitted computation as the single-chip ``dbn_train.idbn_epoch``
+    (with the mesh statics set), so key derivation matches by
+    construction.
     """
+    from multimodal_idbn_tpu.ops import dbn_train
+
     axis = mesh.axis_names[0]
-    # The fused epoch drops the remainder beyond nb*batch_size, so
-    # trimming to a device-divisible length preserves semantics.
-    data = shard_batch(mesh, data, dtype=jnp.float32, trim=True)
+    data = _shard_or_replicate(mesh, data)
     states = replicate(mesh, states)
-    return _dp_idbn_epoch_jit(states, key, data, lr, mom, weight_decay,
-                              sparsity_factor, cd=cd,
-                              sparsity_flags=tuple(sparsity_flags),
-                              batch_size=batch_size, shuffle=shuffle,
-                              mesh=mesh, axis=axis)
+    return dbn_train.idbn_epoch(states, key, data, lr, mom, weight_decay,
+                                sparsity_factor, cd=cd,
+                                sparsity_flags=tuple(sparsity_flags),
+                                batch_size=batch_size, shuffle=shuffle,
+                                mesh=mesh, shard_axis=axis)
+
+
+def dp_idbn_epoch_block(mesh: Mesh, states, epoch_key: Array, data,
+                        epoch_idx, lr_arr, mom_arr, weight_decay,
+                        sparsity_factor, *, cd: int, sparsity_flags,
+                        batch_size: int, n_epochs: int):
+    """Data-parallel epoch-blocked training: ``n_epochs`` full epochs in
+    ONE dispatch with the batch axis sharded over the mesh
+    (``dbn_train.idbn_epoch_block`` with the mesh statics set — identical
+    key derivation to blocked single-chip and per-epoch DP paths)."""
+    from multimodal_idbn_tpu.ops import dbn_train
+
+    axis = mesh.axis_names[0]
+    data = _shard_or_replicate(mesh, data)
+    states = replicate(mesh, states)
+    return dbn_train.idbn_epoch_block(
+        states, epoch_key, data, epoch_idx, lr_arr, mom_arr,
+        weight_decay, sparsity_factor, cd=cd,
+        sparsity_flags=tuple(sparsity_flags), batch_size=batch_size,
+        n_epochs=n_epochs, mesh=mesh, shard_axis=axis)
 
 
 def dp_joint_epoch(mesh: Mesh, joint, idbn_states, key, Z, Y, IMG, lr, mom,
@@ -156,9 +210,9 @@ def dp_joint_epoch(mesh: Mesh, joint, idbn_states, key, Z, Y, IMG, lr, mom,
     from multimodal_idbn_tpu.ops import imdbn_ops
 
     axis = mesh.axis_names[0]
-    # joint_epoch drops samples beyond nb*batch_size itself, so trimming
-    # to a device-divisible length preserves semantics.
-    Z, Y, IMG = shard_batch(mesh, Z, Y, IMG, dtype=jnp.float32, trim=True)
+    Z = _shard_or_replicate(mesh, Z)
+    Y = _shard_or_replicate(mesh, Y)
+    IMG = _shard_or_replicate(mesh, IMG)
     joint = replicate(mesh, joint)
     idbn_states = replicate(mesh, idbn_states)
     if z_class_mean is not None:
@@ -169,46 +223,65 @@ def dp_joint_epoch(mesh: Mesh, joint, idbn_states, key, Z, Y, IMG, lr, mom,
                                  mesh=mesh, shard_axis=axis, **static)
 
 
-from functools import partial  # noqa: E402
+def dp_joint_epoch_block(mesh: Mesh, joint, idbn_states, epoch_key, Z, Y,
+                         IMG, epoch_idx, lr_arr, mom_arr, weight_decay,
+                         z_class_mean, **static):
+    """Data-parallel epoch-blocked joint training: ``n_epochs`` joint
+    epochs in ONE dispatch with the batch axis sharded over the mesh
+    (``imdbn_ops.joint_epoch_block`` with the mesh statics — identical
+    key derivation to blocked single-chip / per-epoch DP paths)."""
+    from multimodal_idbn_tpu.ops import imdbn_ops
+
+    axis = mesh.axis_names[0]
+    Z = _shard_or_replicate(mesh, Z)
+    Y = _shard_or_replicate(mesh, Y)
+    IMG = _shard_or_replicate(mesh, IMG)
+    joint = replicate(mesh, joint)
+    idbn_states = replicate(mesh, idbn_states)
+    if z_class_mean is not None:
+        z_class_mean = jax.device_put(jnp.asarray(z_class_mean),
+                                      replicated(mesh))
+    return imdbn_ops.joint_epoch_block(
+        joint, idbn_states, epoch_key, Z, Y, IMG, epoch_idx, lr_arr,
+        mom_arr, weight_decay, z_class_mean, mesh=mesh, shard_axis=axis,
+        **static)
 
 
-@partial(jax.jit, static_argnames=("cd", "sparsity_flags", "batch_size",
-                                   "shuffle", "mesh", "axis"))
-def _dp_idbn_epoch_jit(states, key, data, lr, mom, weight_decay,
-                       sparsity_factor, *, cd, sparsity_flags, batch_size,
-                       shuffle, mesh, axis):
-    n = data.shape[0]
-    nb = n // batch_size
-    if nb == 0:  # dataset smaller than one batch
-        return states, jnp.zeros((0, len(states)), jnp.float32)
-    kperm, kscan = jax.random.split(key)
-    if shuffle:
-        order = jax.random.permutation(kperm, n)
-        batches = data[order[:nb * batch_size]].reshape(
-            nb, batch_size, data.shape[1])
-    else:
-        batches = data[:nb * batch_size].reshape(nb, batch_size,
-                                                 data.shape[1])
-    # Keep the per-step batch axis sharded over the mesh.
-    batches = jax.lax.with_sharding_constraint(
-        batches, NamedSharding(mesh, P(None, axis, None)))
-    step_keys = jax.random.split(kscan, nb)
+def dp_bimodal_joint_epoch(mesh: Mesh, joint, mod1_states, mod2_states,
+                           key, Z1, Z2, V1, V2, lr, mom, weight_decay,
+                           **static):
+    """Data-parallel fused bimodal joint epoch: latents + raw modalities
+    batch-sharded, joint/mod DBN parameters replicated
+    (``bimodal_ops.bimodal_joint_epoch`` with the mesh statics)."""
+    from multimodal_idbn_tpu.ops import bimodal_ops
 
-    def body(states, xs):
-        batch, bkey = xs
-        v = batch
-        new_states = []
-        losses = []
-        for i, st in enumerate(states):
-            st, loss = rbm_ops.cd_update(
-                st, jax.random.fold_in(bkey, i), v, lr=lr, mom=mom,
-                weight_decay=weight_decay, cd=cd,
-                sparsity=sparsity_flags[i],
-                sparsity_factor=sparsity_factor, groups=())
-            v = rbm_ops.hidden_probs(st, v)
-            new_states.append(st)
-            losses.append(loss)
-        return tuple(new_states), jnp.stack(losses)
+    axis = mesh.axis_names[0]
+    Z1, Z2, V1, V2 = (_shard_or_replicate(mesh, a)
+                      for a in (Z1, Z2, V1, V2))
+    joint = replicate(mesh, joint)
+    mod1_states = replicate(mesh, mod1_states)
+    mod2_states = replicate(mesh, mod2_states)
+    return bimodal_ops.bimodal_joint_epoch(
+        joint, mod1_states, mod2_states, key, Z1, Z2, V1, V2, lr, mom,
+        weight_decay, mesh=mesh, shard_axis=axis, **static)
 
-    states, losses = jax.lax.scan(body, states, (batches, step_keys))
-    return states, losses
+
+def dp_bimodal_epoch_block(mesh: Mesh, joint, mod1_states, mod2_states,
+                           epoch_key, Z1, Z2, V1, V2, epoch_idx, lr_arr,
+                           mom_arr, weight_decay, **static):
+    """Data-parallel epoch-blocked bimodal joint training
+    (``bimodal_ops.bimodal_epoch_block`` with the mesh statics)."""
+    from multimodal_idbn_tpu.ops import bimodal_ops
+
+    axis = mesh.axis_names[0]
+    Z1, Z2, V1, V2 = (_shard_or_replicate(mesh, a)
+                      for a in (Z1, Z2, V1, V2))
+    joint = replicate(mesh, joint)
+    mod1_states = replicate(mesh, mod1_states)
+    mod2_states = replicate(mesh, mod2_states)
+    return bimodal_ops.bimodal_epoch_block(
+        joint, mod1_states, mod2_states, epoch_key, Z1, Z2, V1, V2,
+        epoch_idx, lr_arr, mom_arr, weight_decay, mesh=mesh,
+        shard_axis=axis, **static)
+
+

@@ -62,6 +62,9 @@ def build_params(cfg: dict) -> dict:
         # framework extension: thin the per-batch cross metrics (default 1
         # keeps the reference's every-batch cadence, imdbn.py:614-639)
         "CROSS_METRICS_EVERY": t.get("cross_metrics_every", 1),
+        # framework extension: data-parallel training over N devices
+        # (int or "all"; the reference is single-device)
+        "DP_DEVICES": t.get("dp_devices"),
         "SEED": t.get("seed", 0),
     }
 
@@ -146,6 +149,10 @@ def main():
         logging_cfg=logging_cfg,
         seed=params.get("SEED"),
     )
+
+    if params.get("DP_DEVICES"):
+        print(f"[train_multimodal] data-parallel training over "
+              f"{params['DP_DEVICES']} device(s)")
 
     # 1) image iDBN: load if available, otherwise train
     image_pre = cfg.get("paths", {}).get("image_idbn_pretrained")

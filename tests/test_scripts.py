@@ -73,7 +73,8 @@ def test_train_bimodal_smoke(tmp_path):
 
 def test_multichip_example_smoke():
     """examples/multichip_training.py runs end-to-end on the virtual
-    mesh (DP + 2-D TP epochs; losses must print and be finite)."""
+    mesh (DP + 2-D TP ops epochs + the shell-level DP_DEVICES path;
+    losses must print and be finite)."""
     import re
     import subprocess
     import sys
@@ -86,5 +87,5 @@ def test_multichip_example_smoke():
         capture_output=True, text=True, timeout=600, cwd=repo)
     assert proc.returncode == 0, proc.stderr[-2000:]
     losses = re.findall(r"final loss ([0-9.]+)", proc.stdout)
-    assert len(losses) == 2 and all(float(x) < 1.0 for x in losses), \
+    assert len(losses) == 3 and all(float(x) < 1.0 for x in losses), \
         proc.stdout
