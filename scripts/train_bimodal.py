@@ -63,6 +63,9 @@ def build_params(cfg: dict) -> dict:
                                       t.get("aux_cond_steps", 50)),
         "JOINT_AUX_EVERY_K": t.get("JOINT_AUX_EVERY_K", 10),
         "CROSS_METRICS_EVERY": t.get("cross_metrics_every", 1),
+        # framework extension: data-parallel training over N devices
+        # (int or "all"; the reference is single-device)
+        "DP_DEVICES": t.get("dp_devices"),
         "SEED": t.get("seed", 0),
     }
 
