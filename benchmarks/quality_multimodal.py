@@ -53,6 +53,10 @@ def main():
     ap.add_argument("--lr", type=float, default=0.1,
                     help="image-stack learning rate (PCD typically "
                          "needs a smaller one than plain CD)")
+    ap.add_argument("--sample-cycle", action="store_true",
+                    help="measure label->image->label cycle top1 for the "
+                         "sampled generator (sample_txt2img) vs the "
+                         "mean decoder (txt2img)")
     args = ap.parse_args()
 
     import numpy as np
@@ -122,6 +126,23 @@ def main():
     log(f"[quality] joint: {t_joint:.1f}s | last-epoch metrics: "
         f"{model.last_metrics}")
 
+    # Generative sampling cycle check (framework extension,
+    # models/imdbn.py sample_txt2img): draw images from labels, re-encode
+    # with img2txt, score top1 against the requested label. Compares the
+    # sampled generator against the reference-semantics mean decoder.
+    cycle = {}
+    if args.sample_cycle:
+        ids = np.repeat(np.arange(32), 4)  # 4 draws per class
+        for name, imgs in (
+                ("sampled", model.sample_txt2img(ids, seed=args.seed)),
+                ("mean", model.txt2img(ids))):
+            p_y = np.asarray(model.img2txt(np.asarray(imgs)))
+            cycle[f"cycle/{name}_top1"] = float(
+                (p_y.argmax(1) == ids).mean())
+            cycle[f"cycle/{name}_img_mean"] = float(
+                np.asarray(imgs).mean())
+        log(f"[quality] cycle: {cycle}")
+
     # Linear probes on the top image layer (reference cadence metric)
     probe_acc = {}
     try:
@@ -154,6 +175,7 @@ def main():
         "joint_epoch_seconds_p50": round(model.epoch_timer.p50(), 3),
         **{k: round(v, 4) for k, v in (model.last_metrics or {}).items()},
         **{f"probe/{k}": round(v, 4) for k, v in probe_acc.items()},
+        **{k: round(v, 4) for k, v in cycle.items()},
     }
     print(json.dumps(result))
 

@@ -171,6 +171,9 @@ class iDBN:
         count up to reduction order (tests/test_parallel.py)."""
         from multimodal_idbn_tpu.parallel import resolve_mesh
         self.mesh = resolve_mesh(mesh)
+        # An explicit set_mesh (including None) overrides DP_DEVICES —
+        # otherwise _resolve_mesh would silently re-enable DP from params.
+        self._dp_devices = None
 
     def _resolve_mesh(self):
         """Build the mesh from params["DP_DEVICES"] on first use."""

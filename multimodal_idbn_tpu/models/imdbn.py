@@ -186,6 +186,8 @@ class iMDBN:
         a ``jax.sharding.Mesh``, a device count, ``"all"``, or ``None``."""
         from multimodal_idbn_tpu.parallel import resolve_mesh
         self.mesh = resolve_mesh(mesh)
+        # Explicit set_mesh (including None) overrides DP_DEVICES.
+        self._dp_devices = None
         self.image_idbn.set_mesh(self.mesh)
 
     def _resolve_mesh(self):
@@ -389,6 +391,38 @@ class iMDBN:
         img, _ = self._cross_reconstruct(z0, y.astype(np.float32),
                                          direction="txt2img")
         return img
+
+    def sample_txt2img(self, labels, gibbs_steps: Optional[int] = None,
+                       seed: Optional[int] = None):
+        """GENERATE images from labels: sampled conditional Gibbs on the
+        joint RBM (y clamped, h and v sampled each step) + ancestral-
+        sampled decode through the image iDBN. Framework extension — the
+        reference's ``txt2img`` flow is a mean-field decoder whose
+        L2-optimal output is the information-bounded per-class mean
+        (benchmarks/RESULTS.md); this draws individual sharp images from
+        p(img | y) instead. Different seeds give different draws;
+        ``seed`` fixes the draw.
+
+        ``labels``: integer class ids [B] or one-hot [B, K]. Returns
+        pixel probabilities [B, D] of the sampled configuration.
+        """
+        y = np.asarray(as_array(labels))
+        if y.ndim == 1:
+            ids = y.astype(np.int64)
+            if ids.size and (ids.min() < 0 or ids.max() >= self.num_labels):
+                raise ValueError(
+                    f"label ids must be in [0, {self.num_labels}); got "
+                    f"range [{ids.min()}, {ids.max()}]")
+            y = np.eye(self.num_labels, dtype=np.float32)[ids]
+        steps = int(gibbs_steps if gibbs_steps is not None
+                    else self.cross_steps)
+        key = (jax.random.key(seed) if seed is not None
+               else self.joint_rbm._next_key())
+        imgs, _ = imdbn_ops.sample_txt2img(
+            self.joint_rbm.state, self.image_idbn._states(), key,
+            jnp.asarray(y, jnp.float32), steps=steps, Dz=self.Dz_img,
+            groups=self._joint_groups())
+        return imgs
 
     def represent(self, batch) -> jax.Array:
         """Joint hidden activations for (images, one-hot labels)

@@ -588,6 +588,8 @@ class iMDBN_BiModal:
         a device count, ``"all"``, or ``None``."""
         from multimodal_idbn_tpu.parallel import resolve_mesh
         self.mesh = resolve_mesh(mesh)
+        # Explicit set_mesh (including None) overrides DP_DEVICES.
+        self._dp_devices = None
         self.mod1_dbn.set_mesh(self.mesh)
         self.mod2_dbn.set_mesh(self.mesh)
 

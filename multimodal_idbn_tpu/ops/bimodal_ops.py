@@ -146,14 +146,9 @@ def _bimodal_train_batch(joint: States, mod1_states, mod2_states, key, z1,
     return tuple(layers), cd_loss, m
 
 
-def _constrain(batches, mesh, shard_axis):
-    """Pin the per-step batch axis of [nb, bs, D] sharded over the mesh
-    (no-op without a mesh — see parallel.dp_bimodal_epoch*)."""
-    if mesh is None or shard_axis is None:
-        return batches
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    return jax.lax.with_sharding_constraint(
-        batches, NamedSharding(mesh, P(None, shard_axis, None)))
+# Shared DP batch-pinning helper (see parallel.dp_bimodal_epoch*).
+from multimodal_idbn_tpu.ops.dbn_train import (  # noqa: E402
+    _constrain_batches as _constrain)
 
 
 @partial(jax.jit,

@@ -396,6 +396,25 @@ def dbn_decode(states: States, top: Array) -> Array:
 
 
 @jax.jit
+def dbn_decode_sampled(states: States, top: Array, key: Array) -> Array:
+    """Ancestral-sampled decode: Bernoulli-sample each intermediate layer
+    on the way down, return PROBABILITIES at the bottom (pixel means of
+    the sampled configuration). Framework extension — the reference's
+    ``decode`` (idbn.py:346-359) is the mean-field special case; sampling
+    the descent generates sharp draws from p(v | top) instead of the
+    blurred-together mean, which is what class-conditional generation
+    needs (benchmarks/RESULTS.md: the L2-optimal mean is information-
+    bounded near blank on numerosity)."""
+    cur = top
+    for i, st in enumerate(reversed(states)):
+        cur = rbm_ops.visible_probs(st, cur)
+        if i < len(states) - 1:
+            from multimodal_idbn_tpu.ops.sampling import sample_bernoulli
+            cur = sample_bernoulli(jax.random.fold_in(key, i), cur)
+    return cur
+
+
+@jax.jit
 def dbn_reconstruct(states: States, v: Array) -> Array:
     """Encode through all layers then decode back (idbn.py:326-344)."""
     cur = v

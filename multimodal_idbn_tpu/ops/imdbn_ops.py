@@ -295,11 +295,10 @@ def joint_epoch(joint: rbm_ops.RBMState, idbn_states, key: Array, Z: Array,
         Zb = Z[:nb * batch_size].reshape(nb, batch_size, -1)
         Yb = Y[:nb * batch_size].reshape(nb, batch_size, -1)
         Ib = IMG[:nb * batch_size].reshape(nb, batch_size, -1)
-    if mesh is not None and shard_axis is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        sh = NamedSharding(mesh, P(None, shard_axis, None))
-        Zb, Yb, Ib = (jax.lax.with_sharding_constraint(x, sh)
-                      for x in (Zb, Yb, Ib))
+    from multimodal_idbn_tpu.ops.dbn_train import _constrain_batches
+    Zb = _constrain_batches(Zb, mesh, shard_axis)
+    Yb = _constrain_batches(Yb, mesh, shard_axis)
+    Ib = _constrain_batches(Ib, mesh, shard_axis)
     step_keys = jax.random.split(kscan, nb)
 
     def body(carry, xs):
@@ -377,12 +376,11 @@ def joint_epoch_block(joint: rbm_ops.RBMState, idbn_states,
             Zb = Zp[:nb * batch_size].reshape(nb, batch_size, -1)
             Yb = Yp[:nb * batch_size].reshape(nb, batch_size, -1)
             Ib = Ip[:nb * batch_size].reshape(nb, batch_size, -1)
-            if mesh is not None and shard_axis is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-                sh = NamedSharding(mesh, P(None, shard_axis, None))
-                Zb = jax.lax.with_sharding_constraint(Zb, sh)
-                Yb = jax.lax.with_sharding_constraint(Yb, sh)
-                Ib = jax.lax.with_sharding_constraint(Ib, sh)
+            from multimodal_idbn_tpu.ops.dbn_train import (
+                _constrain_batches)
+            Zb = _constrain_batches(Zb, mesh, shard_axis)
+            Yb = _constrain_batches(Yb, mesh, shard_axis)
+            Ib = _constrain_batches(Ib, mesh, shard_axis)
             step_keys = jax.random.split(kscan, nb)
 
             def body(carry, bxs):
@@ -463,3 +461,53 @@ _cross_reconstruct_jit = jax.jit(
     cross_reconstruct,
     static_argnames=("steps", "Dz", "groups", "use_free_energy",
                      "best_of_k", "direction"))
+
+
+# ---------------------------------------------------------------------------
+# Class-conditional generative sampling (framework extension)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("steps", "Dz", "groups"))
+def sample_txt2img(joint: rbm_ops.RBMState, idbn_states, key: Array,
+                   y_onehot: Array, *, steps: int, Dz: int,
+                   groups: SoftmaxGroups):
+    """Draw images from p(img | y): sampled conditional Gibbs on the
+    joint RBM with the label block clamped, then ancestral-sampled decode
+    through the image iDBN (``dbn_train.dbn_decode_sampled``).
+
+    Framework extension — the reference's TXT→IMG path (imdbn.py:387-488)
+    is a mean-field DECODER, whose L2-optimal output is the per-class
+    mean image; on numerosity that mean is information-bounded near blank
+    (benchmarks/RESULTS.md). Sampling the chain and the descent instead
+    draws individual plausible images (sharp dots, count carried by y).
+
+    Returns (imgs [B, D] pixel probabilities of the sampled
+    configuration, z_sample [B, Dz] the binary top-layer sample).
+    """
+    from multimodal_idbn_tpu.ops.sampling import (clamp_mask,
+                                                  sample_bernoulli,
+                                                  sample_visible)
+
+    B, K = y_onehot.shape
+    k0, kloop, kdec = jax.random.split(key, 3)
+    v_known = jnp.concatenate(
+        [jnp.zeros((B, Dz), jnp.float32), y_onehot.astype(jnp.float32)],
+        axis=1)
+    km = jnp.concatenate([jnp.zeros((Dz,), jnp.float32),
+                          jnp.ones((K,), jnp.float32)])
+    v = clamp_mask(jax.random.uniform(k0, v_known.shape), v_known, km)
+    step_keys = jax.random.split(kloop, max(1, int(steps)))
+    kv_kh = jax.vmap(lambda k: jax.random.split(k, 2))(step_keys)
+
+    def body(v, ks):
+        kh, kv = ks[0], ks[1]
+        h = sample_bernoulli(kh, rbm_ops.hidden_probs(joint, v))
+        v_prob = rbm_ops.visible_probs(joint, h, groups=groups)
+        v_new = sample_visible(kv, v_prob, groups)
+        return clamp_mask(v_new, v_known, km), None
+
+    if int(steps) > 0:
+        v, _ = jax.lax.scan(body, v, kv_kh)
+    z_sample = v[:, :Dz]
+    imgs = dbn_train.dbn_decode_sampled(idbn_states, z_sample, kdec)
+    return imgs, z_sample

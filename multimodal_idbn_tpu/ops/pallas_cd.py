@@ -5,8 +5,10 @@ epoch is SAMPLING-bound — 21 threefry draws per update on [128, 10000] /
 [128, 1500] operands dominate, which is why neither bf16 nor mixed
 precision moves it. This path fuses every half-step's GEMM + sigmoid +
 Bernoulli draw into one Pallas kernel whose uniforms come from the
-on-core PRNG (``pallas_kernels.half_step_sample_big``), eliminating the
-threefry kernels and their HBM-materialized uniform tensors.
+on-core PRNG (``pallas_kernels.half_step_sample_aligned`` — the
+pad-once-per-update entry point; ``half_step_sample_big`` is the
+standalone pad-per-call wrapper), eliminating the threefry kernels and
+their HBM-materialized uniform tensors.
 
 Semantics: the EXACT reference update order (positive stats from
 probabilities, chain start sampled, ``neg_assoc = v_sampledᵀ·h_prob``,
@@ -36,10 +38,11 @@ _I32_MAX = 2147483647
 
 
 def _seeds_from_key(key: Array, n: int) -> Array:
-    """Derive ``n`` int32 kernel seeds from a threefry key (deterministic
-    per key; the per-tile golden-ratio mix inside the kernel decorrelates
-    consecutive seeds)."""
-    return jax.random.randint(key, (n,), _I32_MIN, _I32_MAX,
+    """Derive ``n`` 64-bit kernel keys (as [n, 2] int32 words) from a
+    threefry key — wide enough that cross-half-step uniform-block reuse
+    needs a 2^64 collision; the kernel folds the tile id in as a third
+    seed word (``pallas_kernels._make_half_step_sample_acc_kernel``)."""
+    return jax.random.randint(key, (n, 2), _I32_MIN, _I32_MAX,
                               dtype=jnp.int32)
 
 

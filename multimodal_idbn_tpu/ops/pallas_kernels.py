@@ -230,8 +230,15 @@ def _make_half_step_sample_acc_kernel(transpose_w: bool):
             i = pl.program_id(0)
             j = pl.program_id(1)
             linear_id = i * pl.num_programs(1) + j
-            pltpu.prng_seed(seed_ref[0] * jnp.int32(-1640531527)
-                            + linear_id)
+            # 64-bit per-half-step key (two threefry-derived int32 words;
+            # Mosaic allows at most 2 seed words). The tile id is mixed
+            # MULTIPLICATIVELY into word 2 (odd constant -> bijective,
+            # adjacent tiles differ across high bits), so cross-call
+            # uniform-block reuse needs a ~2^64 collision, not a 2^32
+            # birthday, and tiles within a call are decorrelated.
+            pltpu.prng_seed(seed_ref[0],
+                            seed_ref[1]
+                            ^ (linear_id * jnp.int32(-1640531527)))
             logits = (acc_ref[:] + b_ref[0, :]) / jnp.maximum(1e-6,
                                                               t_ref[0])
             p = jax.nn.sigmoid(logits)
@@ -262,7 +269,10 @@ def half_step_sample_aligned(v: Array, w: Array, b: Array, seed, T=1.0, *,
     assert B % block_m == 0 and K % block_k == 0 and N % block_n == 0, (
         (B, K, N))
     t = jnp.asarray([T], jnp.float32)
-    seed = jnp.asarray(seed, jnp.int32).reshape(1)
+    # 64-bit kernel key: (2,) int32. A scalar seed is zero-extended.
+    seed = jnp.atleast_1d(jnp.asarray(seed, jnp.int32)).reshape(-1)
+    if seed.size == 1:
+        seed = jnp.concatenate([seed, jnp.zeros(1, jnp.int32)])
     if transpose_w:
         w_spec = pl.BlockSpec((block_n, block_k), lambda i, j, k: (j, k),
                               memory_space=pltpu.VMEM)

@@ -145,11 +145,16 @@ def dp_cd_update(mesh: Mesh, state: rbm_ops.RBMState, key: Array,
 
 
 def _shard_or_replicate(mesh: Mesh, data):
-    """Shard the dataset's batch axis when it divides across the mesh;
-    otherwise replicate it (N is preserved either way — trimming would
-    silently change the batch/remainder split vs the single-device path;
-    the per-step ``with_sharding_constraint`` inside the fused epochs
-    distributes the compute in both cases)."""
+    """Place the dataset with its batch axis sharded over the mesh while
+    PRESERVING N (trimming would silently change the batch/remainder
+    split vs the single-device path). When N does not divide across the
+    mesh the array is replicated instead — correct but n_dev× the HBM
+    footprint; XLA normalizes uneven shardings to replicated on this
+    backend, so there is no layout that both preserves N and shards.
+    The per-step ``with_sharding_constraint`` inside the fused epochs
+    still distributes the compute. In practice the shells pre-slice to
+    ``nb*batch_size`` with device-divisible batch sizes, so the sharded
+    branch is the one that runs."""
     n_dev = int(np.prod(mesh.devices.shape))
     data = jnp.asarray(data, jnp.float32)
     if data.shape[0] % n_dev == 0:

@@ -1,10 +1,11 @@
 """Opt-in Pallas sampled-CD path tests.
 
-CPU CI covers: the deterministic (probs) half of the k-tiled kernel in
-interpret mode, the exact-update-order parity of the fast trainer's
-non-random parts, and the fallback contract (the knob is a no-op off
-TPU). The PRNG half needs a real chip: run with IDBN_TESTS_ON_TPU=1
-(recorded per round in benchmarks/RESULTS.md).
+CPU CI covers only the fallback contract (the knob is a bit-exact no-op
+off TPU) — the Mosaic PRNG has no CPU interpret mode, so the kernel
+itself (probs parity at matched MXU precision, seed determinism, the
+fused trainer learning) runs with IDBN_TESTS_ON_TPU=1 on the real chip
+(recorded per round in benchmarks/RESULTS.md). Interpret-mode coverage
+of the OTHER kernels lives in tests/test_pallas.py.
 """
 
 import jax
@@ -21,7 +22,9 @@ ON_TPU = jax.default_backend() in ("tpu", "axon")
 
 def test_fast_sampler_gated_off_cpu():
     """With the knob ON but no TPU, iDBN must silently use the exact jnp
-    path (bit-identical to knob off)."""
+    path (bit-identical to knob off). On TPU the same test asserts the
+    OPPOSITE: the knob engages and the different (on-core PRNG) random
+    stream produces different weights."""
     from multimodal_idbn_tpu import config
     from multimodal_idbn_tpu.models import iDBN
 
@@ -47,8 +50,12 @@ def test_fast_sampler_gated_off_cpu():
     w_off = run()
     config.enable_pallas_cd(True)
     try:
-        if not ON_TPU:
-            w_on = run()
+        w_on = run()
+        if ON_TPU:
+            assert not np.array_equal(w_off, w_on), (
+                "knob on TPU must engage the Pallas sampler (different "
+                "random stream => different weights)")
+        else:
             np.testing.assert_array_equal(w_off, w_on)
     finally:
         config.enable_pallas_cd(False)

@@ -110,6 +110,37 @@ def test_idbn_set_mesh_accepts_counts_and_mesh():
     assert m.mesh is None
 
 
+def test_set_mesh_none_overrides_dp_devices():
+    """An explicit set_mesh(None) must disable DP even when
+    params["DP_DEVICES"] is set (it previously re-enabled from params)."""
+    m = _idbn(params={**PARAMS, "DP_DEVICES": 8})
+    m.set_mesh(None)
+    assert m._resolve_mesh() is None
+    m.train(epochs=1, log_every_pca=10**9, log_every_probe=10**9)
+    assert m.mesh is None
+
+
+def test_shard_or_replicate_preserves_n_and_values():
+    """DP placement must never trim: a dataset length that does not
+    divide the mesh comes back value-identical (replicated — XLA
+    normalizes uneven shardings to replicated, so sharded placement is
+    impossible there); a divisible length comes back sharded."""
+    from multimodal_idbn_tpu.parallel import make_mesh
+    from multimodal_idbn_tpu.parallel.data_parallel import (
+        _shard_or_replicate)
+
+    mesh = make_mesh()
+    x = np.arange(13 * 5, dtype=np.float32).reshape(13, 5)
+    y = _shard_or_replicate(mesh, x)
+    assert y.shape == (13, 5)
+    np.testing.assert_array_equal(np.asarray(y), x)
+
+    x16 = np.arange(16 * 5, dtype=np.float32).reshape(16, 5)
+    y16 = _shard_or_replicate(mesh, x16)
+    assert not y16.sharding.is_fully_replicated
+    assert len(y16.sharding.device_set) == 8
+
+
 def test_dp_rejects_pcd_and_mixed_precision():
     m = _idbn(params={**PARAMS, "DP_DEVICES": 8, "PCD": True})
     with pytest.raises(ValueError, match="PCD"):
