@@ -569,6 +569,41 @@ class iMDBN_BiModal:
         mod1, _ = self._cross_reconstruct(z1_0, z2, direction="2to1")
         return mod1
 
+    def sample_mod1_to_mod2(self, mod1_images,
+                            gibbs_steps: Optional[int] = None,
+                            seed: Optional[int] = None):
+        """GENERATE modality-2 images from modality-1 images: fully
+        sampled conditional Gibbs on joint layer 0 + ancestral-sampled
+        decode (framework extension; ``mod1_to_mod2`` is the
+        reference-semantics mean-field path — see
+        ``bimodal_ops.sample_cross``). ``seed`` fixes the draw."""
+        return self._sample_cross(mod1_images, "1to2", gibbs_steps, seed)
+
+    def sample_mod2_to_mod1(self, mod2_images,
+                            gibbs_steps: Optional[int] = None,
+                            seed: Optional[int] = None):
+        """GENERATE modality-1 images from modality-2 images (sampled
+        counterpart of ``mod2_to_mod1``)."""
+        return self._sample_cross(mod2_images, "2to1", gibbs_steps, seed)
+
+    def _sample_cross(self, images, direction, gibbs_steps, seed):
+        x = as_array(images)
+        x = x.reshape(x.shape[0], -1)
+        if direction == "1to2":
+            z1 = self.mod1_dbn.represent(x)
+            z2 = jnp.zeros((x.shape[0], self.Dz_mod2), jnp.float32)
+        else:
+            z1 = jnp.zeros((x.shape[0], self.Dz_mod1), jnp.float32)
+            z2 = self.mod2_dbn.represent(x)
+        steps = int(gibbs_steps if gibbs_steps is not None
+                    else self.cross_steps)
+        key = (jax.random.key(seed) if seed is not None
+               else self.joint_rbm._next_key())
+        return bimodal_ops.sample_cross(
+            self.joint_rbm.state, self.mod1_dbn._states(),
+            self.mod2_dbn._states(), key, z1, z2, steps=steps,
+            Dz1=self.Dz_mod1, direction=direction)
+
     def represent(self, batch: Tuple) -> jax.Array:
         """Joint representation through ALL joint layers (reference
         imdbn_bimodal.py:695-709)."""

