@@ -374,11 +374,9 @@ class iMDBN:
         _, p_y = self._cross_reconstruct(z, y0, direction="img2txt")
         return p_y
 
-    def txt2img(self, labels):
-        """Decoded images [B, D] from labels — the TXT→IMG half (noisy
-        mean-field annealing with μ-pull, decoded through the image iDBN).
-
-        ``labels`` may be integer class ids [B] or one-hot [B, K]."""
+    def _labels_to_onehot(self, labels) -> np.ndarray:
+        """Validate + convert integer class ids [B] or one-hot [B, K]
+        (shared by the mean txt2img path and the sampled generator)."""
         y = np.asarray(as_array(labels))
         if y.ndim == 1:
             ids = y.astype(np.int64)
@@ -387,6 +385,18 @@ class iMDBN:
                     f"label ids must be in [0, {self.num_labels}); got "
                     f"range [{ids.min()}, {ids.max()}]")
             y = np.eye(self.num_labels, dtype=np.float32)[ids]
+        elif y.shape[-1] != self.num_labels:
+            raise ValueError(
+                f"one-hot labels must have width {self.num_labels}; got "
+                f"{y.shape}")
+        return y.astype(np.float32)
+
+    def txt2img(self, labels):
+        """Decoded images [B, D] from labels — the TXT→IMG half (noisy
+        mean-field annealing with μ-pull, decoded through the image iDBN).
+
+        ``labels`` may be integer class ids [B] or one-hot [B, K]."""
+        y = self._labels_to_onehot(labels)
         z0 = jnp.zeros((y.shape[0], self.Dz_img), jnp.float32)
         img, _ = self._cross_reconstruct(z0, y.astype(np.float32),
                                          direction="txt2img")
@@ -406,22 +416,20 @@ class iMDBN:
         ``labels``: integer class ids [B] or one-hot [B, K]. Returns
         pixel probabilities [B, D] of the sampled configuration.
         """
-        y = np.asarray(as_array(labels))
-        if y.ndim == 1:
-            ids = y.astype(np.int64)
-            if ids.size and (ids.min() < 0 or ids.max() >= self.num_labels):
-                raise ValueError(
-                    f"label ids must be in [0, {self.num_labels}); got "
-                    f"range [{ids.min()}, {ids.max()}]")
-            y = np.eye(self.num_labels, dtype=np.float32)[ids]
+        y = self._labels_to_onehot(labels)
         steps = int(gibbs_steps if gibbs_steps is not None
                     else self.cross_steps)
         key = (jax.random.key(seed) if seed is not None
                else self.joint_rbm._next_key())
+        z_affine = None
+        if (getattr(self, "z_affine_scale", None) is not None
+                and getattr(self, "z_affine_bias", None) is not None):
+            z_affine = (jnp.asarray(self.z_affine_scale, jnp.float32),
+                        jnp.asarray(self.z_affine_bias, jnp.float32))
         imgs, _ = imdbn_ops.sample_txt2img(
             self.joint_rbm.state, self.image_idbn._states(), key,
             jnp.asarray(y, jnp.float32), steps=steps, Dz=self.Dz_img,
-            groups=self._joint_groups())
+            groups=self._joint_groups(), z_affine=z_affine)
         return imgs
 
     def represent(self, batch) -> jax.Array:

@@ -329,9 +329,10 @@ def sample_cross(joint0: rbm_ops.RBMState, mod1_states, mod2_states,
                  key: Array, z1: Array, z2: Array, *, steps: int,
                  Dz1: int, direction: str):
     """Draw the OTHER modality from p(x_other | x_known): fully sampled
-    conditional Gibbs on joint layer 0 (known z block clamped, h AND v
-    sampled each step), then ancestral-sampled decode through the target
-    modality DBN (``dbn_train.dbn_decode_sampled``).
+    conditional Gibbs on joint layer 0
+    (``rbm_ops.sampled_conditional_chain`` — known z block clamped, h AND
+    v sampled each step), then ancestral-sampled decode through the
+    target modality DBN (``dbn_train.dbn_decode_sampled``).
 
     Framework extension over ``bimodal_cross_reconstruct`` (the
     reference-semantics mean-field path, imdbn_bimodal.py:648-693):
@@ -339,9 +340,6 @@ def sample_cross(joint0: rbm_ops.RBMState, mod1_states, mod2_states,
     the blurred conditional mean. Returns the generated images for the
     requested ``direction`` ("1to2" → mod2 images, "2to1" → mod1).
     """
-    from multimodal_idbn_tpu.ops.sampling import (clamp_mask,
-                                                  sample_bernoulli)
-
     if direction not in ("1to2", "2to1"):
         raise ValueError(f"unknown direction {direction!r}")
     B = z1.shape[0]
@@ -354,20 +352,9 @@ def sample_cross(joint0: rbm_ops.RBMState, mod1_states, mod2_states,
         v_known = jnp.concatenate([jnp.zeros((B, Dz1), z2.dtype), z2], 1)
         km = jnp.concatenate([jnp.zeros((Dz1,), jnp.float32),
                               jnp.ones((Dz2,), jnp.float32)])
-    k0, kloop, kdec = jax.random.split(key, 3)
-    v = clamp_mask(jax.random.uniform(k0, v_known.shape), v_known, km)
-    step_keys = jax.random.split(kloop, max(1, int(steps)))
-    kv_kh = jax.vmap(lambda k: jax.random.split(k, 2))(step_keys)
-
-    def body(v, ks):
-        kh, kv = ks[0], ks[1]
-        h = sample_bernoulli(kh, rbm_ops.hidden_probs(joint0, v))
-        v_prob = rbm_ops.visible_probs(joint0, h, groups=())
-        v_new = sample_bernoulli(kv, v_prob)
-        return clamp_mask(v_new, v_known, km), None
-
-    if int(steps) > 0:
-        v, _ = jax.lax.scan(body, v, kv_kh)
+    kchain, kdec = jax.random.split(key)
+    v = rbm_ops.sampled_conditional_chain(joint0, kchain, v_known, km,
+                                          n_steps=steps, groups=())
     if direction == "1to2":
         return dbn_train.dbn_decode_sampled(mod2_states, v[:, Dz1:], kdec)
     return dbn_train.dbn_decode_sampled(mod1_states, v[:, :Dz1], kdec)

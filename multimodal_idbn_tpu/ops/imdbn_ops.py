@@ -470,44 +470,36 @@ _cross_reconstruct_jit = jax.jit(
 @partial(jax.jit, static_argnames=("steps", "Dz", "groups"))
 def sample_txt2img(joint: rbm_ops.RBMState, idbn_states, key: Array,
                    y_onehot: Array, *, steps: int, Dz: int,
-                   groups: SoftmaxGroups):
-    """Draw images from p(img | y): sampled conditional Gibbs on the
-    joint RBM with the label block clamped, then ancestral-sampled decode
-    through the image iDBN (``dbn_train.dbn_decode_sampled``).
+                   groups: SoftmaxGroups, z_affine=None):
+    """Draw images from p(img | y): fully sampled conditional Gibbs on
+    the joint RBM with the label block clamped
+    (``rbm_ops.sampled_conditional_chain``), then ancestral-sampled
+    decode through the image iDBN (``dbn_train.dbn_decode_sampled``).
 
     Framework extension — the reference's TXT→IMG path (imdbn.py:387-488)
     is a mean-field DECODER, whose L2-optimal output is the per-class
     mean image; on numerosity that mean is information-bounded near blank
     (benchmarks/RESULTS.md). Sampling the chain and the descent instead
     draws individual plausible images (sharp dots, count carried by y).
+    ``z_affine=(scale, bias)`` destandardizes the sampled z before decode
+    exactly like the mean path (reference imdbn.py:481-484).
 
     Returns (imgs [B, D] pixel probabilities of the sampled
     configuration, z_sample [B, Dz] the binary top-layer sample).
     """
-    from multimodal_idbn_tpu.ops.sampling import (clamp_mask,
-                                                  sample_bernoulli,
-                                                  sample_visible)
-
     B, K = y_onehot.shape
-    k0, kloop, kdec = jax.random.split(key, 3)
+    kchain, kdec = jax.random.split(key)
     v_known = jnp.concatenate(
         [jnp.zeros((B, Dz), jnp.float32), y_onehot.astype(jnp.float32)],
         axis=1)
     km = jnp.concatenate([jnp.zeros((Dz,), jnp.float32),
                           jnp.ones((K,), jnp.float32)])
-    v = clamp_mask(jax.random.uniform(k0, v_known.shape), v_known, km)
-    step_keys = jax.random.split(kloop, max(1, int(steps)))
-    kv_kh = jax.vmap(lambda k: jax.random.split(k, 2))(step_keys)
-
-    def body(v, ks):
-        kh, kv = ks[0], ks[1]
-        h = sample_bernoulli(kh, rbm_ops.hidden_probs(joint, v))
-        v_prob = rbm_ops.visible_probs(joint, h, groups=groups)
-        v_new = sample_visible(kv, v_prob, groups)
-        return clamp_mask(v_new, v_known, km), None
-
-    if int(steps) > 0:
-        v, _ = jax.lax.scan(body, v, kv_kh)
+    v = rbm_ops.sampled_conditional_chain(joint, kchain, v_known, km,
+                                          n_steps=steps, groups=groups)
     z_sample = v[:, :Dz]
-    imgs = dbn_train.dbn_decode_sampled(idbn_states, z_sample, kdec)
+    z_dec = z_sample
+    if z_affine is not None:
+        scale, bias = z_affine
+        z_dec = (z_dec - bias) / (scale + 1e-6)  # (imdbn.py:481-484)
+    imgs = dbn_train.dbn_decode_sampled(idbn_states, z_dec, kdec)
     return imgs, z_sample

@@ -356,6 +356,44 @@ def conditional_gibbs(state: RBMState, key: Array, v_known: Array,
     return visible_probs(state, hidden_probs(state, v), groups=groups)
 
 
+def sampled_conditional_chain(state: RBMState, key: Array, v_known: Array,
+                              known_mask: Array, *, n_steps: int,
+                              groups: SoftmaxGroups = ()) -> Array:
+    """FULLY sampled clamped Gibbs chain: h AND v Bernoulli-sampled every
+    step (softmax groups re-sampled categorically), known coordinates
+    re-clamped, final SAMPLED v returned (no mean-field pass).
+
+    Framework extension (no reference counterpart — ``conditional_gibbs``
+    rbm.py:369-400 is the mean-field family): this is the generative
+    chain behind ``imdbn_ops.sample_txt2img`` / ``bimodal_ops
+    .sample_cross``, which draw individual configurations from
+    p(v_unknown | v_known) instead of conditional means. Unknown
+    coordinates start U(0,1). Oracle-pinned in tests/test_rbm_oracle.py.
+    """
+    if int(n_steps) < 1:
+        raise ValueError("sampled_conditional_chain needs n_steps >= 1 "
+                         "(with 0 steps the output would be decoded "
+                         "uniform noise, independent of the clamp)")
+    from multimodal_idbn_tpu.ops.sampling import clamp_mask, sample_visible
+
+    k0, kloop = jax.random.split(key)
+    km = known_mask
+    v = clamp_mask(jax.random.uniform(k0, v_known.shape, v_known.dtype),
+                   v_known, km)
+    keys = jax.random.split(kloop, int(n_steps))
+    kv_kh = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
+
+    def body(v, ks):
+        kh, kv = ks[0], ks[1]
+        h = sample_bernoulli(kh, hidden_probs(state, v))
+        v_prob = visible_probs(state, h, groups=groups)
+        v_new = sample_visible(kv, v_prob, groups)
+        return clamp_mask(v_new, v_known, km), None
+
+    v, _ = jax.lax.scan(body, v, kv_kh)
+    return v
+
+
 def conditional_gibbs_annealed(state: RBMState, key: Array, v_known: Array,
                                known_mask: Array, *, n_steps: int = 40,
                                T0: float = 2.5, T1: float = 1.0,

@@ -119,6 +119,20 @@ class OracleRBM:
                 v = self.sample_visible(v) * (1 - km) + v_known * km
         return self.visible_probs(self.hidden_probs(v))
 
+    def sampled_conditional_chain(self, v_known, km, n_steps):
+        """Fully sampled clamped Gibbs (framework extension: the chain
+        behind sample_txt2img/sample_cross — rbm_ops
+        .sampled_conditional_chain). Uniform init := 0.5; h and v both
+        det-sampled each step; final SAMPLED v returned (no mean-field
+        pass)."""
+        v = v_known * km + (1 - km) * 0.5
+        for _ in range(n_steps):
+            h = det_sample(self.hidden_probs(v))
+            v_prob = self.visible_probs(h)
+            v_new = self.sample_visible(v_prob)
+            v = v_new * (1 - km) + v_known * km
+        return v
+
     def conditional_gibbs_annealed(self, v_known, km, n_steps=40, T0=2.5,
                                    T1=1.0, sample_h_until=20,
                                    sample_v_every=0, final_meanfield=True):
@@ -201,3 +215,16 @@ class OracleRBM:
         self.vb_m = mom * self.vb_m + scaled * (v_plus.sum(0) - v_neg.sum(0)) / bsz
         self.vb = self.vb + self.vb_m
         return np.mean((v_plus - v_neg) ** 2)
+
+
+def dbn_decode_sampled_oracle(oracles, top):
+    """Ancestral-sampled decode (framework extension, dbn_train
+    .dbn_decode_sampled): det-sample every intermediate layer on the way
+    down, probabilities at the bottom."""
+    cur = top
+    n = len(oracles)
+    for i, o in enumerate(reversed(list(oracles))):
+        cur = o.visible_probs(cur)
+        if i < n - 1:
+            cur = det_sample(cur)
+    return cur

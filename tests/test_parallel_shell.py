@@ -211,3 +211,24 @@ def test_imdbn_dp_joint_matches_single_device():
     for k, v in ref.last_metrics.items():
         np.testing.assert_allclose(v, dp.last_metrics[k], rtol=1e-3,
                                    atol=1e-5, err_msg=k)
+
+
+def test_dp_trained_model_checkpoints(tmp_path):
+    """States coming out of DP training are committed replicated jax
+    arrays — the checkpoint layer must serialize them and a fresh
+    single-device model must load them bit-exactly."""
+    from multimodal_idbn_tpu import checkpoint
+
+    dp = _idbn(params={**PARAMS, "DP_DEVICES": 8})
+    dp.train(epochs=2, log_every_pca=10**9, log_every_probe=10**9)
+    assert len(dp.layers[0].state.w.sharding.device_set) == 8
+    path = tmp_path / "dp_model.npz"
+    checkpoint.save_checkpoint(dp, str(path))
+
+    fresh = _idbn()
+    checkpoint.load_checkpoint(fresh, str(path))
+    for a, b in zip(dp.layers, fresh.layers):
+        np.testing.assert_array_equal(np.asarray(a.state.w),
+                                      np.asarray(b.state.w))
+        np.testing.assert_array_equal(np.asarray(a.state.w_m),
+                                      np.asarray(b.state.w_m))

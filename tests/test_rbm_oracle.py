@@ -152,6 +152,49 @@ class TestConditionalSamplers:
         want = oracle.conditional_gibbs(vk, km, 7, sample_h=sample_h)
         assert_close(got, want)
 
+    def test_sampled_conditional_chain(self, det_random):
+        """Pins the generative chain (framework extension behind
+        sample_txt2img/sample_cross): h AND v det-sampled each step,
+        softmax group re-sampled via argmax, clamp positions, uniform
+        init, final SAMPLED v with no mean-field pass."""
+        state, oracle, rng = make_pair(groups=GROUPS)
+        vk = rand_batch(rng, onehot_tail=True)
+        km = self._mask()
+        got = rbm_ops.sampled_conditional_chain(
+            state, KEY, jnp.asarray(vk), jnp.asarray(km[0]), n_steps=7,
+            groups=GROUPS)
+        want = oracle.sampled_conditional_chain(vk, km, 7)
+        assert_close(got, want)
+        with pytest.raises(ValueError, match="n_steps"):
+            rbm_ops.sampled_conditional_chain(
+                state, KEY, jnp.asarray(vk), jnp.asarray(km[0]),
+                n_steps=0, groups=GROUPS)
+
+    def test_dbn_decode_sampled_oracle(self, det_random):
+        """Pins the ancestral-sampled decode order: intermediate layers
+        det-sampled, bottom layer probabilities."""
+        from multimodal_idbn_tpu.ops import dbn_train
+
+        from oracle_np import OracleRBM, dbn_decode_sampled_oracle
+
+        rng = np.random.RandomState(3)
+        sizes = [(V, H), (H, 6)]
+        states, oracles = [], []
+        for vi, hi in sizes:
+            w = rng.randn(vi, hi).astype(np.float32) / np.sqrt(vi)
+            hb = (0.1 * rng.randn(hi)).astype(np.float32)
+            vb = (0.1 * rng.randn(vi)).astype(np.float32)
+            states.append(rbm_ops.RBMState(
+                w=jnp.asarray(w), hb=jnp.asarray(hb), vb=jnp.asarray(vb),
+                w_m=jnp.zeros((vi, hi)), hb_m=jnp.zeros(hi),
+                vb_m=jnp.zeros(vi)))
+            oracles.append(OracleRBM(w, hb, vb))
+        top = (rng.rand(B, 6) > 0.5).astype(np.float32)
+        got = dbn_train.dbn_decode_sampled(tuple(states),
+                                           jnp.asarray(top), KEY)
+        want = dbn_decode_sampled_oracle(oracles, top)
+        assert_close(got, want)
+
     def test_conditional_gibbs_annealed(self, det_random):
         state, oracle, rng = make_pair(groups=GROUPS)
         vk = rand_batch(rng, onehot_tail=True)
