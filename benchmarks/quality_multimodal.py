@@ -136,11 +136,17 @@ def main():
         for name, imgs in (
                 ("sampled", model.sample_txt2img(ids, seed=args.seed)),
                 ("mean", model.txt2img(ids))):
-            p_y = np.asarray(model.img2txt(np.asarray(imgs)))
+            imgs = np.asarray(imgs)
+            p_y = np.asarray(model.img2txt(imgs))
             cycle[f"cycle/{name}_top1"] = float(
                 (p_y.argmax(1) == ids).mean())
-            cycle[f"cycle/{name}_img_mean"] = float(
-                np.asarray(imgs).mean())
+            cycle[f"cycle/{name}_img_mean"] = float(imgs.mean())
+            # numerosity-specific: does generated ink scale with the
+            # requested dot count? (class id == count - min_count)
+            sums = imgs.sum(axis=1)
+            if sums.std() > 0:
+                cycle[f"cycle/{name}_intensity_corr"] = float(
+                    np.corrcoef(ids, sums)[0, 1])
         log(f"[quality] cycle: {cycle}")
 
     # Linear probes on the top image layer (reference cadence metric)

@@ -950,6 +950,47 @@ class iMDBN:
                   f"{payload['metadata'].get('saved_at', 'unknown')}")
         return payload
 
+    @classmethod
+    def from_payload(cls, payload: Dict[str, Any], dataloader=None,
+                     val_loader=None, wandb_run=None) -> "iMDBN":
+        """Rebuild a functional iMDBN from a ``load_model`` payload
+        (framework extension — the reference returns the raw dict and
+        leaves reassembly to the caller, imdbn.py:885-934). The loaded
+        ``image_idbn``/``joint_rbm`` objects are adopted as-is, so all
+        inference paths (img2txt, txt2img, sample_txt2img, represent)
+        work immediately; training additionally needs a dataloader."""
+        m = cls.__new__(cls)
+        m.params = dict(payload.get("params", {}))
+        m.device = None
+        m.dataloader = dataloader
+        m.val_loader = val_loader
+        m.wandb_run = wandb_run
+        m.logging_cfg = {}
+        m._seed = m.params.get("SEED")
+        m.num_labels = int(payload["num_labels"])
+        m.Dz_img = int(payload["Dz_img"])
+        m.image_idbn = payload["image_idbn"]
+        m.joint_rbm = payload["joint_rbm"]
+        m.arch_str = payload.get(
+            "arch_str", f"IMG?_JOINT{m.joint_rbm.num_hidden}")
+        m.features = payload.get("features")
+        m.validation_images = None
+        m.validation_labels = None
+        m.val_batch = None
+        m.joint_cd = int(m.params.get("JOINT_CD", m.params.get("CD", 1)))
+        m.cross_steps = int(m.params.get("CROSS_GIBBS_STEPS", 50))
+        m.aux_every_k = int(m.params.get("JOINT_AUX_EVERY_K", 0))
+        m.aux_cond_steps = int(m.params.get("JOINT_AUX_COND_STEPS", 50))
+        m.reference_best_of_k_bug = True
+        m.mesh = None
+        m._dp_devices = m.params.get("DP_DEVICES")
+        zcm = payload.get("z_class_mean")
+        m.z_class_mean = None if zcm is None else jnp.asarray(zcm)
+        for attr in ("z_affine_scale", "z_affine_bias", "class_names"):
+            if attr in payload:
+                setattr(m, attr, payload[attr])
+        return m
+
     # Drop unpicklable/heavy runtime attachments when embedded in payloads.
     def __getstate__(self):
         d = dict(self.__dict__)

@@ -274,3 +274,45 @@ def test_sample_txt2img_generates(loaders):
     assert np.asarray(m.sample_txt2img(onehot, seed=0)).shape == imgs.shape
     with pytest.raises(ValueError):
         m.sample_txt2img(np.asarray([K + 3]))
+
+
+def test_from_payload_rebuilds_functional_model(tmp_path, model, loaders):
+    """iMDBN.from_payload must produce a model whose inference paths all
+    work and match the original (framework extension over the
+    reference's raw-dict load_model)."""
+    train, val, _ = loaders
+    p = tmp_path / "imdbn_fp.pkl"
+    model.save_model(str(p))
+    m2 = iMDBN.from_payload(iMDBN.load_model(str(p)))
+
+    imgs, _ = next(iter(val))
+    imgs = np.asarray(imgs).reshape(len(imgs), -1)[:4]
+    np.testing.assert_array_equal(np.asarray(model.img2txt(imgs)),
+                                  np.asarray(m2.img2txt(imgs)))
+    d1 = np.asarray(model.sample_txt2img([0, 1], seed=5))
+    d2 = np.asarray(m2.sample_txt2img([0, 1], seed=5))
+    np.testing.assert_array_equal(d1, d2)
+
+
+def test_generate_cli_smoke(tmp_path, model):
+    """scripts/generate.py draws images from a saved model."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    mp = tmp_path / "gen_model.pkl"
+    model.save_model(str(mp))
+    out = tmp_path / "draws.npz"
+    png = tmp_path / "draws.png"
+    proc = subprocess.run(
+        [sys.executable, str(repo / "scripts" / "generate.py"),
+         "--model", str(mp), "--labels", "0", "2", "--n-per-label", "2",
+         "--gibbs-steps", "4", "--seed", "0", "--out", str(out),
+         "--png", str(png), "--cpu"],
+        capture_output=True, text=True, timeout=600, cwd=repo)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    with np.load(out) as f:
+        assert f["images"].shape == (4, SIDE * SIDE)
+        np.testing.assert_array_equal(f["labels"], [0, 0, 2, 2])
+    assert png.exists()
