@@ -921,6 +921,10 @@ class iMDBN:
             payload["z_affine_bias"] = np.asarray(self.z_affine_bias)
         if getattr(self, "class_names", None) is not None:
             payload["class_names"] = self.class_names
+        # Framework extension: persist the best-of-K selection flag so a
+        # reassembled model (from_payload) keeps the saver's semantics.
+        payload["reference_best_of_k_bug"] = bool(
+            self.reference_best_of_k_bug)
 
         with open(path, "wb") as f:
             pickle.dump(payload, f)
@@ -960,7 +964,12 @@ class iMDBN:
         inference paths (img2txt, txt2img, sample_txt2img, represent)
         work immediately; training additionally needs a dataloader."""
         m = cls.__new__(cls)
-        m.params = dict(payload.get("params", {}))
+        # Keep the payload's params object AS-IS: pickle preserves the
+        # identity shared with image_idbn.params (the one-knob-scales-
+        # both-phases invariant of __init__), which a dict() copy would
+        # silently break.
+        m.params = payload.get("params") if payload.get("params") \
+            is not None else {}
         m.device = None
         m.dataloader = dataloader
         m.val_loader = val_loader
@@ -971,6 +980,11 @@ class iMDBN:
         m.Dz_img = int(payload["Dz_img"])
         m.image_idbn = payload["image_idbn"]
         m.joint_rbm = payload["joint_rbm"]
+        # Pickle strips loaders/run from the embedded iDBN
+        # (__getstate__); re-wire the ones given here like __init__ does.
+        m.image_idbn.dataloader = dataloader
+        m.image_idbn.val_loader = val_loader
+        m.image_idbn.wandb_run = wandb_run
         m.arch_str = payload.get(
             "arch_str", f"IMG?_JOINT{m.joint_rbm.num_hidden}")
         m.features = payload.get("features")
@@ -981,7 +995,10 @@ class iMDBN:
         m.cross_steps = int(m.params.get("CROSS_GIBBS_STEPS", 50))
         m.aux_every_k = int(m.params.get("JOINT_AUX_EVERY_K", 0))
         m.aux_cond_steps = int(m.params.get("JOINT_AUX_COND_STEPS", 50))
-        m.reference_best_of_k_bug = True
+        # Restore the saver's best-of-K semantics (persisted by
+        # save_model; True = reference no-op for older payloads).
+        m.reference_best_of_k_bug = bool(
+            payload.get("reference_best_of_k_bug", True))
         m.mesh = None
         m._dp_devices = m.params.get("DP_DEVICES")
         zcm = payload.get("z_class_mean")

@@ -34,7 +34,13 @@ def main():
                     help="path to a save_model pickle")
     ap.add_argument("--labels", type=int, nargs="+", required=True,
                     help="class ids to condition on")
-    ap.add_argument("--n-per-label", type=int, default=1)
+    def positive_int(v):
+        v = int(v)
+        if v < 1:
+            raise argparse.ArgumentTypeError("must be >= 1")
+        return v
+
+    ap.add_argument("--n-per-label", type=positive_int, default=1)
     ap.add_argument("--gibbs-steps", type=int, default=None,
                     help="chain length (default: the model's "
                          "CROSS_GIBBS_STEPS)")
@@ -60,6 +66,13 @@ def main():
 
     ids = np.repeat(np.asarray(args.labels, np.int64), args.n_per_label)
     if args.mean:
+        # Honor --gibbs-steps/--seed on the mean path too (txt2img draws
+        # its chain key from the model's internal stream and reads
+        # CROSS_GIBBS_STEPS).
+        if args.gibbs_steps is not None:
+            model.cross_steps = int(args.gibbs_steps)
+        import jax
+        model.joint_rbm._key = jax.random.key(args.seed)
         imgs = np.asarray(model.txt2img(ids))
     else:
         imgs = np.asarray(model.sample_txt2img(

@@ -292,6 +292,20 @@ def test_from_payload_rebuilds_functional_model(tmp_path, model, loaders):
     d1 = np.asarray(model.sample_txt2img([0, 1], seed=5))
     d2 = np.asarray(m2.sample_txt2img([0, 1], seed=5))
     np.testing.assert_array_equal(d1, d2)
+    # params identity shared with image_idbn (one-knob invariant)
+    assert m2.params is m2.image_idbn.params
+    # loaders propagate to the embedded iDBN like __init__
+    m3 = iMDBN.from_payload(iMDBN.load_model(str(p)), dataloader=train,
+                            val_loader=val)
+    assert m3.image_idbn.dataloader is train
+    assert m3.image_idbn.val_loader is val
+    # best-of-K flag round-trips through save/load
+    model.reference_best_of_k_bug = False
+    p2 = tmp_path / "imdbn_fp2.pkl"
+    model.save_model(str(p2))
+    model.reference_best_of_k_bug = True
+    m4 = iMDBN.from_payload(iMDBN.load_model(str(p2)))
+    assert m4.reference_best_of_k_bug is False
 
 
 def test_generate_cli_smoke(tmp_path, model):
