@@ -232,3 +232,26 @@ def test_dp_trained_model_checkpoints(tmp_path):
                                       np.asarray(b.state.w))
         np.testing.assert_array_equal(np.asarray(a.state.w_m),
                                       np.asarray(b.state.w_m))
+
+
+def test_imdbn_dp_per_epoch_joint_matches_blocked_dp():
+    """With a run object the per-epoch dp_joint_epoch branch routes;
+    without one the blocked dp_joint_epoch_block routes — both must
+    agree (same key-derivation contract)."""
+    blocked = _imdbn({**PARAMS, "DP_DEVICES": 8})
+    blocked.image_idbn.train(epochs=1, log_every_pca=10**9,
+                             log_every_probe=10**9)
+    blocked.train_joint(epochs=2)
+
+    per = iMDBN(layer_sizes_img=[64, 24, 12], joint_layer_size=16,
+                params={**PARAMS, "DP_DEVICES": 8}, dataloader=Loader(),
+                val_loader=Loader(), num_labels=4, seed=0,
+                wandb_run=_Run())
+    per.image_idbn.train(epochs=1, log_every_pca=10**9,
+                         log_every_probe=10**9)
+    per.train_joint(epochs=2, log_every=10**9, log_every_pca=10**9,
+                    log_every_probe=10**9)
+
+    np.testing.assert_allclose(np.asarray(blocked.joint_rbm.state.w),
+                               np.asarray(per.joint_rbm.state.w),
+                               atol=1e-5)
