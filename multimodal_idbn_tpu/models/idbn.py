@@ -194,9 +194,13 @@ class iDBN:
                 or self._pcd_chains[0].shape[0] != batch_size):
             from multimodal_idbn_tpu.ops.rbm_ops import init_pcd_chains
             ck = jax.random.key(self.params.get("SEED", 0) + 12345)
+            # Chains live in the layer storage dtype: pcd_update returns
+            # chains cast to state.w.dtype, and lax.scan requires carry
+            # input/output dtypes to match (bf16-storage + PCD crash
+            # otherwise).
             self._pcd_chains = tuple(
                 init_pcd_chains(jax.random.fold_in(ck, i), batch_size,
-                                r.num_visible)
+                                r.num_visible, dtype=r.state.w.dtype)
                 for i, r in enumerate(self.layers))
         return self._pcd_chains
 

@@ -126,12 +126,20 @@ def tp_idbn_epoch(mesh: Mesh, states: Sequence[rbm_ops.RBMState], key: Array,
     """Fused iDBN epoch (one dispatch) on the 2-D mesh: dataset sharded
     over ``data``, every layer's parameters sharded over ``model``.
 
-    Bit-compatible with the single-device fused epoch
-    (``dbn_train``-equivalent loop, same per-(batch, layer) key
-    derivation as ``data_parallel._dp_idbn_epoch_jit``) up to reduction
-    order.
+    Bit-compatible with the single-device fused epoch (same
+    per-(batch, layer) key derivation as ``dbn_train.idbn_epoch``'s loop,
+    the shared key-derivation source of truth) up to reduction order —
+    including when ``N % dp != 0``: like
+    ``data_parallel._shard_or_replicate``, an uneven batch axis is
+    replicated rather than trimmed, preserving N (and so the permutation
+    length and batch count) at the cost of dp× dataset HBM.
     """
-    data = shard_batch_2d(mesh, data, trim=True)
+    dp = mesh.shape[DATA_AXIS]
+    if np.asarray(data).shape[0] % dp == 0:
+        data = shard_batch_2d(mesh, data)
+    else:
+        data = jax.device_put(jnp.asarray(data, jnp.float32),
+                              NamedSharding(mesh, P()))
     states = tuple(shard_state(mesh, st) for st in states)
     return _tp_idbn_epoch_jit(states, key, data, lr, mom, weight_decay,
                               sparsity_factor, cd=cd,

@@ -86,12 +86,18 @@ def _img2txt_panel_chain(joint: rbm_ops.RBMState, key, z, *, steps: int,
 
 
 @partial(jax.jit, static_argnames=("steps", "groups", "sample_h", "sample_v",
-                                   "Dz"))
+                                   "Dz", "ema_beta"))
 def _txt2img_panel_chain(joint: rbm_ops.RBMState, idbn_states, key, y_onehot,
                          img_gt, z_init, *, steps: int, groups,
-                         sample_h: bool, sample_v: bool, Dz: int):
+                         sample_h: bool, sample_v: bool, Dz: int,
+                         ema_beta: float = 0.0):
     """Batched TXT→IMG chain with per-step decode; returns
-    (dz [steps,B], mse [steps,B], z_final [B,Dz])."""
+    (dz [steps,B], mse [steps,B], z_final [B,Dz]).
+
+    ``ema_beta`` > 0 smooths the *measured* trace only (reference
+    conditional_steps.py:199-202: ``z_new = (1-beta)*z_prev + beta*z_soft``,
+    decoded/diffed/carried as z_prev) — the chain state ``v`` itself is
+    never smoothed, matching the reference."""
     B = y_onehot.shape[0]
     K = y_onehot.shape[1]
     v_known = jnp.concatenate([jnp.zeros((B, Dz), y_onehot.dtype), y_onehot],
@@ -109,10 +115,14 @@ def _txt2img_panel_chain(joint: rbm_ops.RBMState, idbn_states, key, y_onehot,
         v_next = sample_visible(kv, v_prob, groups) if sample_v else v_prob
         v_next = clamp_mask(v_next, v_known, km)
         z_soft = v_prob[:, :Dz]
-        img_rec = dbn_train.dbn_decode(idbn_states, z_soft)
+        if ema_beta > 0.0:
+            z_new = (1.0 - ema_beta) * z_prev + ema_beta * z_soft
+        else:
+            z_new = z_soft
+        img_rec = dbn_train.dbn_decode(idbn_states, z_new)
         mse = ((img_rec - img_gt) ** 2).mean(axis=1)
-        dz = jnp.sqrt(((z_soft - z_prev) ** 2).sum(axis=1))
-        return (v_next, z_soft), (dz, mse)
+        dz = jnp.sqrt(((z_new - z_prev) ** 2).sum(axis=1))
+        return (v_next, z_new), (dz, mse)
 
     (v, z_final), (dzs, mses) = jax.lax.scan(
         body, (v, v[:, :Dz]), jax.random.split(key, steps))
@@ -249,16 +259,17 @@ def trace_txt2img_cross_batch(model, imgs, lbls, max_steps=70,
                               sample_h=False, sample_v=False, eps_z=1e-3,
                               mse_tol=1e-5, patience=3, ema_beta=0.0,
                               init: str = "reference"):
-    """Batched TXT→IMG traces (one on-device chain). ``ema_beta`` accepted
-    for API parity; only the default 0.0 (no smoothing) is supported in the
-    batched path.
+    """Batched TXT→IMG traces (one on-device chain).
+
+    ``ema_beta`` > 0 applies the reference's measurement smoothing
+    (conditional_steps.py:199-202): the decoded/measured code is
+    ``z_new = (1-beta)*z_prev + beta*z_soft`` while the Gibbs state itself
+    is untouched; beta = 0 is the bit-identical unsmoothed path.
 
     ``init``: "reference" uses the trace's z_class_mean / mean-field init
     (reference conditional_steps.py:168-177); "random" uses U(0,1) unknowns
     (the z-mismatch check's init, reference :602).
     """
-    if ema_beta:
-        raise NotImplementedError("ema_beta smoothing not supported")
     img_gt = as_array(imgs)
     y = as_array(lbls)
     Dz = getattr(model, "Dz_img",
@@ -283,7 +294,7 @@ def trace_txt2img_cross_batch(model, imgs, lbls, max_steps=70,
         model.joint_rbm.state, model.image_idbn._states(),
         model.joint_rbm._next_key(), y, img_gt, z_init,
         steps=int(max_steps), groups=groups, sample_h=sample_h,
-        sample_v=sample_v, Dz=Dz)
+        sample_v=sample_v, Dz=Dz, ema_beta=float(ema_beta))
     dzs = np.asarray(dzs)
     mses = np.asarray(mses)
     out = [_txt2img_posthoc(dzs[:, i], mses[:, i], int(max_steps), eps_z,

@@ -128,6 +128,33 @@ def test_tp_idbn_epoch_matches_dp_epoch():
                                    atol=1e-5)
 
 
+def test_tp_idbn_epoch_uneven_n_preserves_parity():
+    """N % dp != 0 must NOT change results vs the even-N semantics: the
+    uneven batch axis is replicated (advisor round-2 finding — trimming
+    silently changed nb and the permutation length)."""
+    from multimodal_idbn_tpu.ops import dbn_train
+
+    rng = np.random.RandomState(4)
+    N = 37  # 37 % 2 != 0; batch 16 -> 2 batches + remainder 5
+    data = (rng.rand(N, V) > 0.5).astype(np.float32)
+    states = (make_state(1),)
+
+    ref_states, ref_losses = dbn_train.idbn_epoch(
+        states, KEY, jnp.asarray(data), 0.1, 0.5, 1e-4, 0.05, cd=2,
+        sparsity_flags=(False,), batch_size=16, shuffle=True)
+
+    mesh = make_mesh_2d(dp=2, mp=4)
+    tp_states, tp_losses = tp_idbn_epoch(
+        mesh, states, KEY, data, 0.1, 0.5, 1e-4, 0.05, cd=2,
+        sparsity_flags=(False,), batch_size=16, shuffle=True)
+
+    np.testing.assert_allclose(np.asarray(ref_losses),
+                               np.asarray(tp_losses), atol=1e-5)
+    g = gather_state(tp_states[0])
+    np.testing.assert_allclose(np.asarray(ref_states[0].w),
+                               np.asarray(g.w), atol=1e-5)
+
+
 def test_tp_epoch_keeps_weights_sharded():
     """The scan carry must stay megatron-split (no mid-scan re-gather)."""
     rng = np.random.RandomState(3)

@@ -136,6 +136,31 @@ def test_idbn_pcd_param_plumbing():
     assert not np.array_equal(before, np.asarray(model._pcd_chains[0]))
 
 
+def test_pcd_with_bf16_storage_trains():
+    """PCD + DTYPE=bfloat16 used to crash at trace time: f32 chains vs a
+    pcd_update that returns chains in the storage dtype made lax.scan's
+    carry dtypes mismatch. Chains must be created in the layer storage
+    dtype (advisor round-2 finding)."""
+    from multimodal_idbn_tpu.models import iDBN
+
+    params = {"LEARNING_RATE": 0.05, "WEIGHT_PENALTY": 1e-4,
+              "INIT_MOMENTUM": 0.5, "FINAL_MOMENTUM": 0.95,
+              "LEARNING_RATE_DYNAMIC": False, "CD": 1, "SEED": 0,
+              "PCD": True, "DTYPE": "bfloat16"}
+
+    class Loader:
+        batch_size = 32
+
+        def materialize(self):
+            return _bars(96), np.zeros(96, np.int64)
+
+    model = iDBN([V, H], params=params, dataloader=Loader(),
+                 val_loader=None, seed=0)
+    model.train(epochs=2, log_every_pca=10**9, log_every_probe=10**9)
+    assert model._pcd_chains[0].dtype == jnp.bfloat16
+    assert np.isfinite(model.loss_history).all()
+
+
 def test_pcd_off_is_default_and_untouched():
     from multimodal_idbn_tpu.models import iDBN
 

@@ -200,6 +200,64 @@ def test_trace_txt2img_cross(model):
     assert np.isfinite(out["best_mse"])
 
 
+def test_trace_txt2img_ema_beta_oracle(model):
+    """Pin the ema_beta measurement smoothing (reference
+    conditional_steps.py:199-202) against a NumPy replay of the mean-field
+    chain: z_new = (1-b)*z_prev + b*z_soft is decoded/diffed/carried while
+    the Gibbs state itself stays unsmoothed."""
+    img, lbl = conditional_steps.pick_fixed_val_case(model)
+    beta = 0.4
+    steps = 5
+    out = conditional_steps.trace_txt2img_cross(
+        model, img, lbl, max_steps=steps, ema_beta=beta)
+
+    st = model.joint_rbm.state
+    W = np.asarray(st.w, np.float64)
+    hb = np.asarray(st.hb, np.float64)
+    vb = np.asarray(st.vb, np.float64)
+    Dz = model.Dz_img
+    y = np.asarray(lbl, np.float64).reshape(1, -1)
+    K = y.shape[1]
+    img_gt = np.asarray(img, np.float64).reshape(1, -1)
+
+    def sigmoid(x):
+        return 1.0 / (1.0 + np.exp(-x))
+
+    # init matches the trace: z_class_mean[argmax y] (fixture ran
+    # init_joint_bias_from_data)
+    assert getattr(model, "z_class_mean", None) is not None
+    z = np.asarray(model.z_class_mean, np.float64)[int(y.argmax())][None, :]
+    v = np.concatenate([z, y], axis=1)
+    z_prev = v[:, :Dz].copy()
+    exp_dz, exp_mse = [], []
+    for _ in range(steps):
+        h = sigmoid(v @ W + hb)
+        logits = h @ W.T + vb
+        v_prob = sigmoid(logits)
+        lab = logits[:, Dz:Dz + K]
+        e = np.exp(lab - lab.max(axis=1, keepdims=True))
+        v_prob[:, Dz:Dz + K] = e / e.sum(axis=1, keepdims=True)
+        z_soft = v_prob[:, :Dz]
+        z_new = (1.0 - beta) * z_prev + beta * z_soft
+        rec = np.asarray(model.image_idbn.decode(z_new.astype(np.float32)),
+                         np.float64)
+        exp_mse.append(((rec - img_gt) ** 2).mean())
+        exp_dz.append(np.sqrt(((z_new - z_prev) ** 2).sum()))
+        z_prev = z_new
+        v = np.concatenate([v_prob[:, :Dz], y], axis=1)  # re-clamp y only
+
+    n = len(out["z_l2"])
+    np.testing.assert_allclose(out["z_l2"], exp_dz[:n], rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(out["image_mse"], exp_mse[:n], rtol=2e-4,
+                               atol=1e-6)
+    # beta=0 path unchanged: recomputing without smoothing gives different
+    # measurements (sanity that the flag actually engages)
+    out0 = conditional_steps.trace_txt2img_cross(
+        model, img, lbl, max_steps=steps, ema_beta=0.0)
+    assert not np.allclose(out0["z_l2"][: min(3, len(out0["z_l2"]))],
+                           out["z_l2"][: min(3, len(out0["z_l2"]))])
+
+
 def test_cross_panel(model):
     res = conditional_steps.run_and_log_cross_panel(
         model, epoch=0, per_class=1, max_steps=5)
