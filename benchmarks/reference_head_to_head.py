@@ -45,6 +45,14 @@ SCHEDULE = dict(side=40, num_classes=16, n_samples=1024, batch=128,
                 cross_steps=20, aux_cond_steps=10)
 QUICK = dict(SCHEDULE, n_samples=256, epochs_img=4, epochs_joint=10,
              cross_steps=5, aux_cond_steps=3)
+# The REAL flagship schedule (configs/multimodal_training_config.yaml:9-34
+# + quality_multimodal.py): strong-signal regime where the rebuild reaches
+# top1 >= 0.5. One torch seed ≈ 1 h on this CPU (measured:
+# benchmarks/ref_flagship_timing.py — image epoch 18.5 s, joint 7-14 s).
+FLAGSHIP = dict(side=100, num_classes=32, n_samples=2048, batch=128,
+                layers=(10000, 1500, 500), joint_hidden=500,
+                epochs_img=100, epochs_joint=150, cd=10, joint_cd=5,
+                cross_steps=50, aux_cond_steps=30, joint_lr=0.04)
 
 
 def log(*a):
@@ -56,6 +64,9 @@ def make_params(s, seed):
         "LEARNING_RATE": 0.1, "WEIGHT_PENALTY": 1e-4,
         "INIT_MOMENTUM": 0.5, "FINAL_MOMENTUM": 0.95,
         "LEARNING_RATE_DYNAMIC": True, "CD": s["cd"],
+        # flagship config pins joint lr 0.04 (multimodal_training_config
+        # .yaml:24); the scaled schedules keep the r2 legacy lr=0.1
+        "JOINT_LEARNING_RATE": s.get("joint_lr", 0.1),
         "JOINT_CD": s["joint_cd"], "CROSS_GIBBS_STEPS": s["cross_steps"],
         "JOINT_AUX_COND_STEPS": s["aux_cond_steps"], "SEED": seed,
     }
@@ -87,6 +98,35 @@ def build_dataset(s, path):
 # metrics, imdbn.py:613-639, computed once on the val set after training).
 # --------------------------------------------------------------------------
 
+def probe_metrics(z, h_joint, y, img):
+    """Linear-probe accuracies on both sides' embeddings with ONE shared
+    protocol mirroring the reference's log_linear_probe /
+    log_joint_linear_probe (probe_utils.py:344,:435): 5-bin quantile
+    targets (make_bin_labels :141), stratified split seed 42 (:170),
+    full-batch AdamW+CE linear classifier with patience 20 (:195-263).
+    The probe code is identical for the torch and jax sides (this repo's
+    oracle-matched utils, forced CPU), so accuracy differences isolate
+    embedding quality (VERDICT r3 item 4)."""
+    import numpy as np
+
+    from multimodal_idbn_tpu.utils.probe_utils import (
+        make_bin_labels, stratified_split, train_linear_classifier)
+
+    feats = {"labels": y.argmax(1).astype(np.float32) + 1,
+             "area": img.sum(1)}
+    out = {}
+    for emb_name, E in (("top", z), ("joint", h_joint)):
+        if E is None:
+            continue
+        for feat_name, vals in feats.items():
+            yb, _ = make_bin_labels(vals, n_bins=5)
+            tr, te = stratified_split(yb, test_size=0.2, rng_seed=42)
+            acc, _, _ = train_linear_classifier(
+                E[tr], yb[tr], E[te], yb[te], n_classes=5)
+            out[f"probe_{emb_name}_{feat_name}"] = round(float(acc), 4)
+    return out
+
+
 def eval_metrics_numpy(z, y, p_y, img_from_txt, img, rec):
     import numpy as np
 
@@ -113,6 +153,11 @@ def eval_metrics_numpy(z, y, p_y, img_from_txt, img, rec):
 # --------------------------------------------------------------------------
 
 def run_reference(s, seed, data_path):
+    # The probe protocol uses this repo's jax-based utils; keep that off
+    # the TPU (must run before jax backend init).
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
     # wandb/torchvision are not installed in this image; stub them (only
     # diagnostics paths touch them, and wandb_run=None skips those).
     import types
@@ -152,20 +197,24 @@ def run_reference(s, seed, data_path):
     t_all = time.time() - t0
     log(f"[h2h ref seed {seed}] trained in {t_all:.0f}s (img {t_img:.0f}s)")
 
-    zs, ys, ps, ifs, imgs, recs = [], [], [], [], [], []
+    zs, ys, ps, ifs, imgs, recs, hs = [], [], [], [], [], [], []
     with torch.no_grad():
         for img, y in val_loader:
             img = img.view(img.size(0), -1).float()
             z = model.image_idbn.represent(img)
             img_ft, p_y = model._cross_reconstruct(z, y.float())
             rec = model.image_idbn.reconstruct(img)
+            h = model.joint_rbm.forward(torch.cat([z, y.float()], dim=1))
             zs.append(z.numpy()); ys.append(y.numpy())
             ps.append(p_y.numpy()); ifs.append(img_ft.numpy())
             imgs.append(img.numpy()); recs.append(rec.numpy())
+            hs.append(h.numpy())
     import numpy as np
     out = eval_metrics_numpy(np.concatenate(zs), np.concatenate(ys),
                              np.concatenate(ps), np.concatenate(ifs),
                              np.concatenate(imgs), np.concatenate(recs))
+    out.update(probe_metrics(np.concatenate(zs), np.concatenate(hs),
+                             np.concatenate(ys), np.concatenate(imgs)))
     out["train_s"] = round(t_all, 1)
     return out
 
@@ -176,9 +225,10 @@ def run_reference(s, seed, data_path):
 # bench.py + benchmarks/quality_multimodal.py)
 # --------------------------------------------------------------------------
 
-def run_ours(s, seed, data_path):
+def run_ours(s, seed, data_path, tpu=False):
     import jax
-    jax.config.update("jax_platforms", "cpu")  # before backend init
+    if not tpu:
+        jax.config.update("jax_platforms", "cpu")  # before backend init
 
     import numpy as np
 
@@ -214,18 +264,25 @@ def run_ours(s, seed, data_path):
     t_all = time.time() - t0
     log(f"[h2h ours seed {seed}] trained in {t_all:.0f}s (img {t_img:.0f}s)")
 
-    zs, ys, ps, ifs, imgs, recs = [], [], [], [], [], []
+    from multimodal_idbn_tpu.ops import rbm_ops
+
+    zs, ys, ps, ifs, imgs, recs, hs = [], [], [], [], [], [], []
     for img, y in val_loader:
         img = np.asarray(img, np.float32).reshape(len(img), -1)
+        y = np.asarray(y, np.float32)
         z = np.asarray(model.image_idbn.represent(img))
-        img_ft, p_y = model._cross_reconstruct(z, np.asarray(y))
+        img_ft, p_y = model._cross_reconstruct(z, y)
         rec = np.asarray(model.image_idbn.reconstruct(img))
-        zs.append(z); ys.append(np.asarray(y))
+        h = np.asarray(rbm_ops.hidden_probs(
+            model.joint_rbm.state, np.concatenate([z, y], axis=1)))
+        zs.append(z); ys.append(y)
         ps.append(np.asarray(p_y)); ifs.append(np.asarray(img_ft))
-        imgs.append(img); recs.append(rec)
+        imgs.append(img); recs.append(rec); hs.append(h)
     out = eval_metrics_numpy(np.concatenate(zs), np.concatenate(ys),
                              np.concatenate(ps), np.concatenate(ifs),
                              np.concatenate(imgs), np.concatenate(recs))
+    out.update(probe_metrics(np.concatenate(zs), np.concatenate(hs),
+                             np.concatenate(ys), np.concatenate(imgs)))
     out["train_s"] = round(t_all, 1)
     return out
 
@@ -234,14 +291,17 @@ def run_ours(s, seed, data_path):
 # Driver: fan the per-seed runs out as parallel subprocesses
 # --------------------------------------------------------------------------
 
-def _spawn(role, seed, data_path, quick, outdir):
+def _spawn(role, seed, data_path, preset, outdir, tpu=False):
     args = [sys.executable, __file__, "--role", role, "--seed", str(seed),
             "--data", str(data_path)]
-    if quick:
-        args.append("--quick")
+    if preset:
+        args.append(preset)
+    if tpu:
+        args.append("--tpu")
     out = open(os.path.join(outdir, f"{role}_{seed}.log"), "w")
-    env = dict(os.environ, JAX_PLATFORMS="cpu",
-               JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache")
+    env = dict(os.environ, JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache")
+    if not tpu:
+        env["JAX_PLATFORMS"] = "cpu"
     return subprocess.Popen(args, stdout=subprocess.PIPE, stderr=out,
                             cwd=outdir, env=env, text=True)
 
@@ -261,14 +321,30 @@ def main():
                     default=[0, 1, 2, 3, 4])
     ap.add_argument("--data", type=str, default=None)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--flagship", action="store_true",
+                    help="the REAL flagship schedule (strong-signal "
+                         "regime; ~1 h per torch seed)")
+    ap.add_argument("--tpu", action="store_true",
+                    help="(role=ours) run on the real TPU instead of "
+                         "forced CPU")
+    ap.add_argument("--roles", nargs="*", default=["ref", "ours"],
+                    choices=["ref", "ours"],
+                    help="which sides the driver runs")
+    ap.add_argument("--ours-tpu", action="store_true",
+                    help="driver: run ours-side seeds on the TPU, "
+                         "serially (never two TPU processes)")
     ap.add_argument("--jobs", type=int, default=5,
                     help="max concurrent subprocesses")
     args = ap.parse_args()
-    s = QUICK if args.quick else SCHEDULE
+    s = (FLAGSHIP if args.flagship else QUICK if args.quick
+         else SCHEDULE)
 
     if args.role != "driver":
-        fn = run_reference if args.role == "ref" else run_ours
-        print(json.dumps(fn(s, args.seed, args.data)))
+        if args.role == "ref":
+            print(json.dumps(run_reference(s, args.seed, args.data)))
+        else:
+            print(json.dumps(run_ours(s, args.seed, args.data,
+                                      tpu=args.tpu)))
         return
 
     import tempfile
@@ -276,21 +352,39 @@ def main():
     data_path = os.path.join(outdir, "dataset.npz")
     build_dataset(s, data_path)
 
-    jobs = [(role, seed) for seed in args.seeds
-            for role in ("ref", "ours")]
+    preset = ("--flagship" if args.flagship
+              else "--quick" if args.quick else None)
+    jobs = [(role, seed) for seed in args.seeds for role in args.roles]
     results = {"ref": {}, "ours": {}}
     pending = list(jobs)
     running = []
+    tpu_running = [False]  # at most one TPU process at a time
+
+    def is_tpu(role):
+        return args.ours_tpu and role == "ours"
+
     while pending or running:
-        while pending and len(running) < args.jobs:
-            role, seed = pending.pop(0)
-            log(f"[h2h] launching {role} seed {seed}")
-            running.append((role, seed,
-                            _spawn(role, seed, data_path, args.quick,
-                                   outdir)))
+        launched = True
+        while pending and len(running) < args.jobs and launched:
+            launched = False
+            for i, (role, seed) in enumerate(pending):
+                if is_tpu(role) and tpu_running[0]:
+                    continue
+                pending.pop(i)
+                log(f"[h2h] launching {role} seed {seed}"
+                    + (" (TPU)" if is_tpu(role) else ""))
+                if is_tpu(role):
+                    tpu_running[0] = True
+                running.append((role, seed,
+                                _spawn(role, seed, data_path, preset,
+                                       outdir, tpu=is_tpu(role))))
+                launched = True
+                break
         for role, seed, proc in running[:]:
             if proc.poll() is not None:
                 running.remove((role, seed, proc))
+                if is_tpu(role):
+                    tpu_running[0] = False
                 out = proc.stdout.read().strip()
                 if proc.returncode != 0 or not out:
                     log(f"[h2h] {role} seed {seed} FAILED rc="
@@ -302,15 +396,19 @@ def main():
                         f"{results[role][seed]}")
         time.sleep(2)
 
+    metrics = ("top1", "top3", "ce", "image_mse", "recon_mse",
+               "probe_top_labels", "probe_top_area",
+               "probe_joint_labels", "probe_joint_area")
     table = {}
-    for metric in ("top1", "top3", "ce", "image_mse", "recon_mse"):
+    for metric in metrics:
         for role in ("ref", "ours"):
-            vals = [r[metric] for r in results[role].values() if r]
+            vals = [r[metric] for r in results[role].values()
+                    if r and metric in r]
             if vals:
                 table[f"{role}_{metric}"] = summarize(vals)
     log("\n| metric | reference (torch) | rebuild (jax) |")
     log("|---|---|---|")
-    for metric in ("top1", "top3", "ce", "image_mse", "recon_mse"):
+    for metric in metrics:
         log(f"| {metric} | {table.get('ref_' + metric, '-')} | "
             f"{table.get('ours_' + metric, '-')} |")
     print(json.dumps({"schedule": s, "seeds": args.seeds,

@@ -66,6 +66,9 @@ def build_params(cfg: dict) -> dict:
         # framework extension: data-parallel training over N devices
         # (int or "all"; the reference is single-device)
         "DP_DEVICES": t.get("dp_devices"),
+        # framework extension: blank-recon rescue for the modality DBNs
+        # (iDBN.train_with_retry; 0 = reference behavior)
+        "INIT_RETRY": t.get("init_retry", 0),
         "SEED": t.get("seed", 0),
     }
 
@@ -131,7 +134,14 @@ def _train_mod_dbn(bimodal, train_loader, params, modality_idx: int):
     dbn.dataloader = _create_modality_dataloader(train_loader, modality_idx)
     epochs = params["EPOCHS_MOD1" if modality_idx == 0 else "EPOCHS_MOD2"]
     print(f"  Training MOD{modality_idx + 1} iDBN for {epochs} epochs...")
-    dbn.train(epochs)
+    init_retry = int(params.get("INIT_RETRY", 0) or 0)
+    if init_retry > 0:
+        retries = dbn.train_with_retry(epochs, max_retries=init_retry)
+        if retries:
+            print(f"  [init_retry] MOD{modality_idx + 1} re-initialized "
+                  f"{retries} time(s) after blank-level recon")
+    else:
+        dbn.train(epochs)
 
 
 def main():

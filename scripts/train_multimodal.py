@@ -65,6 +65,10 @@ def build_params(cfg: dict) -> dict:
         # framework extension: data-parallel training over N devices
         # (int or "all"; the reference is single-device)
         "DP_DEVICES": t.get("dp_devices"),
+        # framework extension: retrain the image iDBN up to N times if
+        # its reconstruction collapses to blank level (measured bad-seed
+        # rescue, iDBN.train_with_retry; 0 = reference behavior)
+        "INIT_RETRY": t.get("init_retry", 0),
         "SEED": t.get("seed", 0),
     }
 
@@ -124,6 +128,8 @@ def main():
     make_loaders = (create_dataloaders_zipfian
                     if dataset.get("distribution") == "zipfian"
                     else create_dataloaders_uniform)
+    if make_loaders is create_dataloaders_zipfian:
+        print("[train_multimodal] zipfian class distribution")
     train_loader, val_loader, _ = make_loaders(
         data_path=dataset.get("path"),
         data_name=dataset.get("name"),
@@ -159,10 +165,20 @@ def main():
     if not (image_pre and imdbn.load_pretrained_image_idbn(image_pre)):
         print("Training image iDBN..." if not image_pre else
               "[main] fallback: training image iDBN from scratch...")
-        imdbn.image_idbn.train(
-            params["EPOCHS_IMG"],
-            log_every_pca=log_params["LOG_EVERY_PCA"],
-            log_every_probe=log_params["LOG_EVERY_PROBE"])
+        init_retry = int(params.get("INIT_RETRY", 0) or 0)
+        if init_retry > 0:
+            retries = imdbn.image_idbn.train_with_retry(
+                params["EPOCHS_IMG"], max_retries=init_retry,
+                log_every_pca=log_params["LOG_EVERY_PCA"],
+                log_every_probe=log_params["LOG_EVERY_PROBE"])
+            if retries:
+                print(f"[train_multimodal] init_retry: re-initialized "
+                      f"{retries} time(s) after blank-level recon")
+        else:
+            imdbn.image_idbn.train(
+                params["EPOCHS_IMG"],
+                log_every_pca=log_params["LOG_EVERY_PCA"],
+                log_every_probe=log_params["LOG_EVERY_PROBE"])
 
     # optional: fine-tune last image RBM
     ft_epochs = int(cfg.get("paths", {}).get(
