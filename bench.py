@@ -305,6 +305,9 @@ def bench_gibbs_chains():
 
 
 def main():
+    from multimodal_idbn_tpu.config import (
+        enable_persistent_compilation_cache)
+    enable_persistent_compilation_cache()
     # Primary metric first: a missing/broken torch must not prevent the
     # JSON line (torch is the optional baseline denominator, not a dep).
     jax_epoch, extras = bench_jax()

@@ -28,6 +28,9 @@ def log(*a):
 
 
 def main():
+    from multimodal_idbn_tpu.config import (
+        enable_persistent_compilation_cache)
+    enable_persistent_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="reduced epochs for smoke runs")

@@ -197,24 +197,41 @@ def run_reference(s, seed, data_path):
     t_all = time.time() - t0
     log(f"[h2h ref seed {seed}] trained in {t_all:.0f}s (img {t_img:.0f}s)")
 
-    zs, ys, ps, ifs, imgs, recs, hs = [], [], [], [], [], [], []
-    with torch.no_grad():
-        for img, y in val_loader:
-            img = img.view(img.size(0), -1).float()
-            z = model.image_idbn.represent(img)
-            img_ft, p_y = model._cross_reconstruct(z, y.float())
-            rec = model.image_idbn.reconstruct(img)
-            h = model.joint_rbm.forward(torch.cat([z, y.float()], dim=1))
-            zs.append(z.numpy()); ys.append(y.numpy())
-            ps.append(p_y.numpy()); ifs.append(img_ft.numpy())
-            imgs.append(img.numpy()); recs.append(rec.numpy())
-            hs.append(h.numpy())
     import numpy as np
-    out = eval_metrics_numpy(np.concatenate(zs), np.concatenate(ys),
-                             np.concatenate(ps), np.concatenate(ifs),
-                             np.concatenate(imgs), np.concatenate(recs))
-    out.update(probe_metrics(np.concatenate(zs), np.concatenate(hs),
-                             np.concatenate(ys), np.concatenate(imgs)))
+
+    def evaluate(loader, probes):
+        zs, ys, ps, ifs, imgs, recs, hs = [], [], [], [], [], [], []
+        with torch.no_grad():
+            for img, y in loader:
+                img = img.view(img.size(0), -1).float()
+                z = model.image_idbn.represent(img)
+                img_ft, p_y = model._cross_reconstruct(z, y.float())
+                rec = model.image_idbn.reconstruct(img)
+                h = model.joint_rbm.forward(
+                    torch.cat([z, y.float()], dim=1))
+                zs.append(z.numpy()); ys.append(y.numpy())
+                ps.append(p_y.numpy()); ifs.append(img_ft.numpy())
+                imgs.append(img.numpy()); recs.append(rec.numpy())
+                hs.append(h.numpy())
+        out = eval_metrics_numpy(
+            np.concatenate(zs), np.concatenate(ys), np.concatenate(ps),
+            np.concatenate(ifs), np.concatenate(imgs),
+            np.concatenate(recs))
+        if probes:
+            out.update(probe_metrics(
+                np.concatenate(zs), np.concatenate(hs),
+                np.concatenate(ys), np.concatenate(imgs)))
+        return out
+
+    out = evaluate(val_loader, probes=True)
+    # Train-set metrics: the regime the reference's own per-batch
+    # cross_modality/* logging measures (imdbn.py:613-659) — frozen
+    # final weights instead of the evolving last epoch.
+    train_eval_loader = torch.utils.data.DataLoader(
+        train_ds, batch_size=s["batch"])
+    out.update({f"train_{k}": v
+                for k, v in evaluate(train_eval_loader,
+                                     probes=False).items()})
     out["train_s"] = round(t_all, 1)
     return out
 
@@ -266,23 +283,37 @@ def run_ours(s, seed, data_path, tpu=False):
 
     from multimodal_idbn_tpu.ops import rbm_ops
 
-    zs, ys, ps, ifs, imgs, recs, hs = [], [], [], [], [], [], []
-    for img, y in val_loader:
-        img = np.asarray(img, np.float32).reshape(len(img), -1)
-        y = np.asarray(y, np.float32)
-        z = np.asarray(model.image_idbn.represent(img))
-        img_ft, p_y = model._cross_reconstruct(z, y)
-        rec = np.asarray(model.image_idbn.reconstruct(img))
-        h = np.asarray(rbm_ops.hidden_probs(
-            model.joint_rbm.state, np.concatenate([z, y], axis=1)))
-        zs.append(z); ys.append(y)
-        ps.append(np.asarray(p_y)); ifs.append(np.asarray(img_ft))
-        imgs.append(img); recs.append(rec); hs.append(h)
-    out = eval_metrics_numpy(np.concatenate(zs), np.concatenate(ys),
-                             np.concatenate(ps), np.concatenate(ifs),
-                             np.concatenate(imgs), np.concatenate(recs))
-    out.update(probe_metrics(np.concatenate(zs), np.concatenate(hs),
-                             np.concatenate(ys), np.concatenate(imgs)))
+    def evaluate(loader, probes):
+        zs, ys, ps, ifs, imgs, recs, hs = [], [], [], [], [], [], []
+        for img, y in loader:
+            img = np.asarray(img, np.float32).reshape(len(img), -1)
+            y = np.asarray(y, np.float32)
+            z = np.asarray(model.image_idbn.represent(img))
+            img_ft, p_y = model._cross_reconstruct(z, y)
+            rec = np.asarray(model.image_idbn.reconstruct(img))
+            h = np.asarray(rbm_ops.hidden_probs(
+                model.joint_rbm.state, np.concatenate([z, y], axis=1)))
+            zs.append(z); ys.append(y)
+            ps.append(np.asarray(p_y)); ifs.append(np.asarray(img_ft))
+            imgs.append(img); recs.append(rec); hs.append(h)
+        out = eval_metrics_numpy(
+            np.concatenate(zs), np.concatenate(ys), np.concatenate(ps),
+            np.concatenate(ifs), np.concatenate(imgs),
+            np.concatenate(recs))
+        if probes:
+            out.update(probe_metrics(
+                np.concatenate(zs), np.concatenate(hs),
+                np.concatenate(ys), np.concatenate(imgs)))
+        return out
+
+    out = evaluate(val_loader, probes=True)
+    # Train-set metrics (the reference's per-batch cross_modality/*
+    # regime, imdbn.py:613-659) with frozen final weights.
+    train_eval_loader = DataLoader(Subset(tr, np.arange(len(tr.labels))),
+                                   batch_size=s["batch"])
+    out.update({f"train_{k}": v
+                for k, v in evaluate(train_eval_loader,
+                                     probes=False).items()})
     out["train_s"] = round(t_all, 1)
     return out
 
@@ -397,6 +428,7 @@ def main():
         time.sleep(2)
 
     metrics = ("top1", "top3", "ce", "image_mse", "recon_mse",
+               "train_top1", "train_top3", "train_ce",
                "probe_top_labels", "probe_top_area",
                "probe_joint_labels", "probe_joint_area")
     table = {}

@@ -42,3 +42,29 @@ def enable_pallas_cd(enabled: bool = True) -> None:
 
 def pallas_cd_enabled() -> bool:
     return _FLAGS["pallas_cd"]
+
+
+def enable_persistent_compilation_cache(path: str | None = None) -> str:
+    """Point JAX's persistent compilation cache at ``path`` (default:
+    ``$JAX_COMPILATION_CACHE_DIR`` or ``/tmp/jax_cache``) so fused-epoch
+    compiles are paid once per machine instead of once per process.
+
+    Measured on the axon TPU backend (benchmarks/compile_study.py,
+    round 3): flagship blocked-epoch compiles drop 5.5 s → 1.3 s (image
+    CD-10 block) and 10.9 s → 2.6 s (joint main block) in a second
+    process with a warm cache. Called by every CLI/benchmark entry point;
+    safe to call repeatedly, must run before the first compile to help.
+    """
+    import os
+
+    import jax
+
+    path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                  "/tmp/jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception as e:  # pragma: no cover - config renamed upstream
+        print(f"[config] persistent compilation cache unavailable: {e}")
+    return path

@@ -28,6 +28,9 @@ from multimodal_idbn_tpu.models import iMDBN  # noqa: E402
 
 
 def main():
+    from multimodal_idbn_tpu.config import (
+        enable_persistent_compilation_cache)
+    enable_persistent_compilation_cache()
     ap = argparse.ArgumentParser(
         "Draw images from p(img | label) with a trained iMDBN")
     ap.add_argument("--model", required=True,

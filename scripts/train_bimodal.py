@@ -145,6 +145,9 @@ def _train_mod_dbn(bimodal, train_loader, params, modality_idx: int):
 
 
 def main():
+    from multimodal_idbn_tpu.config import (
+        enable_persistent_compilation_cache)
+    enable_persistent_compilation_cache()
     args = parse_args()
     cfg = load_config(args.config)
 

@@ -109,6 +109,9 @@ def maybe_wandb(cfg: dict, params: dict):
 
 
 def main():
+    from multimodal_idbn_tpu.config import (
+        enable_persistent_compilation_cache)
+    enable_persistent_compilation_cache()
     args = parse_args()
     cfg = load_config(args.config)
 
