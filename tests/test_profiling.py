@@ -92,3 +92,22 @@ def test_step_timer_amortized_block():
     assert t.count == 5
     assert len(set(np.round(t.durations, 9))) == 1
     assert 0.005 < t.p50() < 0.05  # per-epoch, not per-block
+
+
+def test_enable_persistent_compilation_cache(tmp_path, monkeypatch):
+    """The helper every CLI entry point calls must point JAX's persistent
+    cache at the requested (or env-derived) directory and return it."""
+    import jax
+
+    from multimodal_idbn_tpu import config as fw_config
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        p = fw_config.enable_persistent_compilation_cache(str(tmp_path))
+        assert p == str(tmp_path)
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path)
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path))
+        assert fw_config.enable_persistent_compilation_cache() == \
+            str(tmp_path)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
