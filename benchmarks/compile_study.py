@@ -5,7 +5,6 @@ each backend (VERDICT r3 item 3).
 Each invocation measures ONE jitted path in a fresh process:
     python benchmarks/compile_study.py --path img|joint_main|joint_warmup
         [--cache DIR] [--backend axon|cpu] [--epochs E] [--steps S]
-        [--unroll-probe]
 Prints one JSON line: {"path", "backend", "lower_s", "compile_s",
 "cache_hit": bool-ish, ...}. Run twice with the same --cache DIR to
 measure cross-process caching (second run's compile_s ≈ 0 on a hit).
@@ -69,13 +68,11 @@ def measure(args):
 
     if args.path == "img":
         fn = dbn_train.idbn_epoch_block
-        lowargs = (states, key, sd(N, V), sd(E), sd(E), sd(E), 1e-4, 0.1)
-        lowkw = dict(cd=10, sparsity_flags=(False, True), batch_size=B,
-                     n_epochs=E)
-        # epoch_idx is int32
         lowargs = (states, key, sd(N, V),
                    jax.ShapeDtypeStruct((E,), jnp.int32), sd(E), sd(E),
                    1e-4, 0.1)
+        lowkw = dict(cd=10, sparsity_flags=(False, True), batch_size=B,
+                     n_epochs=E)
     elif args.path in ("joint_main", "joint_warmup"):
         fn = imdbn_ops.joint_epoch_block
         warm = args.path == "joint_warmup"

@@ -66,5 +66,8 @@ def enable_persistent_compilation_cache(path: str | None = None) -> str:
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           1.0)
     except Exception as e:  # pragma: no cover - config renamed upstream
-        print(f"[config] persistent compilation cache unavailable: {e}")
+        import sys
+        # stderr: several callers guarantee JSON-only stdout (bench.py)
+        print(f"[config] persistent compilation cache unavailable: {e}",
+              file=sys.stderr)
     return path

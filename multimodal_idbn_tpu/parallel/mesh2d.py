@@ -135,7 +135,8 @@ def tp_idbn_epoch(mesh: Mesh, states: Sequence[rbm_ops.RBMState], key: Array,
     length and batch count) at the cost of dp× dataset HBM.
     """
     dp = mesh.shape[DATA_AXIS]
-    if np.asarray(data).shape[0] % dp == 0:
+    n = data.shape[0] if hasattr(data, "shape") else len(data)
+    if n % dp == 0:
         data = shard_batch_2d(mesh, data)
     else:
         data = jax.device_put(jnp.asarray(data, jnp.float32),

@@ -25,6 +25,16 @@ V, H, B = 64, 32, 32
 KEY = jax.random.key(0)
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _free_compiled_programs():
+    """Bound the CPU client's live-executable footprint: this module
+    compiles several mesh-sharded epoch programs, and too many live
+    executables make a LATER unrelated compile segfault in the
+    full-suite process (see tests/test_parallel_shell.py / CLAUDE.md)."""
+    yield
+    jax.clear_caches()
+
+
 def make_state(seed=0, v=V, h=H):
     return rbm_ops.init_rbm_state(jax.random.key(seed), v, h)
 

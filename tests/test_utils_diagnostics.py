@@ -22,6 +22,19 @@ from multimodal_idbn_tpu.utils import conditional_steps, energy_utils
 from multimodal_idbn_tpu.utils import imdbn_logging
 
 
+import jax
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _free_compiled_programs():
+    """Bound the live-executable footprint (this module compiles many
+    diagnostics chains, incl. the ema_beta=0.4 trace specialization);
+    see tests/test_parallel_shell.py / CLAUDE.md for the segfault this
+    prevents."""
+    yield
+    jax.clear_caches()
+
+
 class FakeWandbRun:
     def __init__(self):
         self.logged = []
