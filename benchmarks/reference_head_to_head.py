@@ -242,7 +242,7 @@ def run_reference(s, seed, data_path):
 # bench.py + benchmarks/quality_multimodal.py)
 # --------------------------------------------------------------------------
 
-def run_ours(s, seed, data_path, tpu=False):
+def run_ours(s, seed, data_path, tpu=False, init_retry=0):
     import jax
     if not tpu:
         jax.config.update("jax_platforms", "cpu")  # before backend init
@@ -275,7 +275,13 @@ def run_ours(s, seed, data_path, tpu=False):
                   val_loader=val_loader, num_labels=d["train_y"].shape[1],
                   seed=seed)
     t0 = time.time()
-    model.image_idbn.train(epochs=s["epochs_img"])
+    if init_retry:
+        retries = model.image_idbn.train_with_retry(
+            epochs=s["epochs_img"], max_retries=init_retry)
+        log(f"[h2h ours seed {seed}] init_retry={init_retry}: "
+            f"{retries} retries used")
+    else:
+        model.image_idbn.train(epochs=s["epochs_img"])
     t_img = time.time() - t0
     model.train_joint(epochs=s["epochs_joint"])
     t_all = time.time() - t0
@@ -322,13 +328,16 @@ def run_ours(s, seed, data_path, tpu=False):
 # Driver: fan the per-seed runs out as parallel subprocesses
 # --------------------------------------------------------------------------
 
-def _spawn(role, seed, data_path, preset, outdir, tpu=False):
+def _spawn(role, seed, data_path, preset, outdir, tpu=False,
+           init_retry=0):
     args = [sys.executable, __file__, "--role", role, "--seed", str(seed),
             "--data", str(data_path)]
     if preset:
         args.append(preset)
     if tpu:
         args.append("--tpu")
+    if init_retry and role == "ours":
+        args += ["--init-retry", str(init_retry)]
     out = open(os.path.join(outdir, f"{role}_{seed}.log"), "w")
     env = dict(os.environ, JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache")
     if not tpu:
@@ -366,6 +375,10 @@ def main():
                          "serially (never two TPU processes)")
     ap.add_argument("--jobs", type=int, default=5,
                     help="max concurrent subprocesses")
+    ap.add_argument("--init-retry", type=int, default=0,
+                    help="(ours side) iDBN.train_with_retry max_retries "
+                         "— the documented init-collapse rescue "
+                         "(models/idbn.py:400); 0 = reference parity")
     args = ap.parse_args()
     s = (FLAGSHIP if args.flagship else QUICK if args.quick
          else SCHEDULE)
@@ -375,7 +388,8 @@ def main():
             print(json.dumps(run_reference(s, args.seed, args.data)))
         else:
             print(json.dumps(run_ours(s, args.seed, args.data,
-                                      tpu=args.tpu)))
+                                      tpu=args.tpu,
+                                      init_retry=args.init_retry)))
         return
 
     import tempfile
@@ -408,7 +422,8 @@ def main():
                     tpu_running[0] = True
                 running.append((role, seed,
                                 _spawn(role, seed, data_path, preset,
-                                       outdir, tpu=is_tpu(role))))
+                                       outdir, tpu=is_tpu(role),
+                                       init_retry=args.init_retry)))
                 launched = True
                 break
         for role, seed, proc in running[:]:

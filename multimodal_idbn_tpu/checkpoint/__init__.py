@@ -6,6 +6,13 @@ The reference only pickles live torch objects at phase boundaries
 - :func:`save_checkpoint` / :func:`load_checkpoint` — native, portable
   npz checkpoints of any model (RBM / iDBN / iMDBN / iMDBN_BiModal),
   including momentum buffers (the reference drops optimizer state).
+- :func:`save_train_checkpoint` / :func:`load_train_checkpoint` —
+  mid-training checkpoints (framework extension; the reference only
+  saves at phase boundaries, SURVEY.md §5.4). Because every epoch's RNG
+  derives from ``fold_in(epoch_key, epoch)``, a run resumed from epoch k
+  is bit-identical to the uninterrupted run (tests/test_resume.py).
+  Writes are atomic (tmp + rename), so a crash mid-save never corrupts
+  the latest checkpoint.
 - :func:`export_reference_pickle` / :func:`import_reference_pickle` —
   the reference's dual-format pickle payload with torch-free numpy shims
   (export) and tolerant unpickling of reference/Groundeep payloads
@@ -58,12 +65,19 @@ def _collect_rbms(model) -> Dict[str, "object"]:
 def save_checkpoint(model, path: str, extra: Dict | None = None) -> None:
     """Save all RBM states (including momentum buffers) plus optional
     extras (e.g. z_class_mean) to one npz file."""
+    import jax
+
     arrays = {}
     meta = {"format": "multimodal_idbn_tpu.ckpt.v1", "rbms": {}}
     for name, rbm in _collect_rbms(model).items():
         st = rbm.state
         for field, arr in zip(_STATE_FIELDS, st):
             arrays[f"{name}/{field}"] = np.asarray(arr)
+        # RNG stream position: the per-batch (non-fused) training paths
+        # draw from each RBM's stateful key stream, so resuming a run
+        # needs the stream restored, not restarted (tests/test_resume.py).
+        arrays[f"{name}/key"] = np.asarray(
+            jax.random.key_data(rbm._key))
         meta["rbms"][name] = {
             "softmax_groups": [list(g) for g in rbm.softmax_groups],
         }
@@ -73,7 +87,15 @@ def save_checkpoint(model, path: str, extra: Dict | None = None) -> None:
         arrays[f"extra/{k}"] = np.asarray(v)
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8)
-    np.savez(path, **arrays)
+    # Atomic: a crash mid-write must never clobber the previous
+    # checkpoint (np.savez appends .npz, so normalize first).
+    import os
+    p = str(path)
+    if not p.endswith(".npz"):
+        p = p + ".npz"
+    tmp = p + ".tmp.npz"
+    np.savez(tmp, **arrays)
+    os.replace(tmp, p)
 
 
 def save_checkpoint_orbax(model, path: str) -> None:
@@ -127,12 +149,88 @@ def load_checkpoint(model, path: str) -> Dict[str, np.ndarray]:
     with np.load(p, allow_pickle=False) as f:
         files = dict(f)
 
+    import jax
+
     rbms = _collect_rbms(model)
     for name, rbm in rbms.items():
         vals = [jnp.asarray(files[f"{name}/{field}"])
                 for field in _STATE_FIELDS]
         rbm.state = RBMState(*vals)
+        if f"{name}/key" in files:  # absent in pre-resume checkpoints
+            rbm._key = jax.random.wrap_key_data(
+                jnp.asarray(files[f"{name}/key"]))
     if "z_class_mean" in files and hasattr(model, "z_class_mean"):
         model.z_class_mean = jnp.asarray(files["z_class_mean"])
     return {k[len("extra/"):]: v for k, v in files.items()
             if k.startswith("extra/")}
+
+
+# ---------------------------------------------------------------------------
+# Mid-training checkpoints (framework extension — SURVEY.md §5.4: the
+# reference has "no mid-training checkpointing, no retries"). A checkpoint
+# records every RBM state (weights + momentum), z_class_mean when present,
+# PCD fantasy chains when the opt-in PCD trainer is active, the phase
+# name, and the next epoch to run. Since all training RNG derives from
+# fold_in(epoch_key, absolute_epoch), resuming from (states, next_epoch)
+# reproduces the uninterrupted run bit-for-bit (tests/test_resume.py).
+# ---------------------------------------------------------------------------
+
+def save_train_checkpoint(model, path: str, phase: str, next_epoch: int,
+                          loss_history=None) -> None:
+    """Checkpoint ``model`` mid-training: resumable at ``next_epoch``.
+
+    ``phase`` is a free-form tag ("image", "joint", "mod1", ...) the
+    caller uses to route the resume; ``loss_history`` (optional list of
+    floats) is restored by :func:`load_train_checkpoint` so resumed runs
+    keep a complete loss curve.
+    """
+    extra = {
+        "phase": np.frombuffer(str(phase).encode(), dtype=np.uint8),
+        "next_epoch": np.asarray(int(next_epoch), np.int64),
+    }
+    if loss_history is not None:
+        extra["loss_history"] = np.asarray(loss_history, np.float64)
+    chains = getattr(model, "_pcd_chains", None)
+    if chains is not None:
+        for i, c in enumerate(chains):
+            extra[f"pcd_chain{i}"] = np.asarray(c)
+    save_checkpoint(model, path, extra=extra)
+
+
+def load_train_checkpoint(model, path: str):
+    """Restore a :func:`save_train_checkpoint` file into ``model``.
+
+    Returns ``(phase, next_epoch)``. Also restores ``loss_history``
+    (onto ``model.loss_history`` when the model keeps one) and PCD
+    fantasy chains when the checkpoint carries them.
+    """
+    import jax.numpy as jnp
+
+    extras = load_checkpoint(model, path)
+    phase = bytes(extras["phase"]).decode()
+    next_epoch = int(extras["next_epoch"])
+    if "loss_history" in extras and hasattr(model, "loss_history"):
+        model.loss_history = [float(x) for x in extras["loss_history"]]
+    chain_keys = sorted(k for k in extras if k.startswith("pcd_chain"))
+    if chain_keys and hasattr(model, "_pcd_chains"):
+        model._pcd_chains = tuple(jnp.asarray(extras[k])
+                                  for k in chain_keys)
+    return phase, next_epoch
+
+
+def checkpoint_epochs(start_epoch: int, end_epoch: int,
+                      checkpoint_every: int, *extra_edges: int):
+    """Split ``[start_epoch, end_epoch)`` into contiguous blocks whose
+    edges land on multiples of ``checkpoint_every`` plus any
+    ``extra_edges`` (e.g. a warmup boundary). ``checkpoint_every <= 0``
+    yields blocks split only at ``extra_edges``. Returns a list of
+    ``(block_start, block_end)`` tuples."""
+    edges = {start_epoch, end_epoch}
+    edges.update(e for e in extra_edges if start_epoch < e < end_epoch)
+    if checkpoint_every and checkpoint_every > 0:
+        e = (start_epoch // checkpoint_every + 1) * checkpoint_every
+        while e < end_epoch:
+            edges.add(e)
+            e += checkpoint_every
+    seq = sorted(edges)
+    return list(zip(seq[:-1], seq[1:]))

@@ -279,13 +279,30 @@ class iDBN:
         self._set_states(states)
         return loss_sum / max(1, loss_count)
 
+    def _save_train_checkpoint(self, path, next_epoch: int,
+                               phase: str = "image") -> None:
+        from multimodal_idbn_tpu.checkpoint import save_train_checkpoint
+        save_train_checkpoint(self, path, phase=phase,
+                              next_epoch=next_epoch,
+                              loss_history=self.loss_history)
+
     def train(self, epochs: int, log_every_pca: int = 25,
-              log_every_probe: int = 10, fused: Optional[bool] = None):
+              log_every_probe: int = 10, fused: Optional[bool] = None,
+              start_epoch: int = 0, checkpoint_every: int = 0,
+              checkpoint_path: Optional[str] = None):
         """Train with iterative layer-wise updates (reference idbn.py:179-305).
 
         ``fused=None`` auto-selects the on-device epoch path when the
         dataloader can materialize its arrays; ``fused=False`` forces the
         reference-style per-batch loop (useful for exotic loaders).
+
+        Crash-safe resume (framework extension): with
+        ``checkpoint_every=N`` and ``checkpoint_path``, a resumable
+        checkpoint (weights + momentum + loss history) is written every N
+        epochs; ``start_epoch=k`` continues a run restored by
+        ``checkpoint.load_train_checkpoint``. Every epoch's RNG is
+        ``fold_in(epoch_key, absolute_epoch)``, so the resumed run is
+        bit-identical to an uninterrupted one (tests/test_resume.py).
         """
         if fused is None:
             fused = hasattr(self.dataloader, "materialize")
@@ -294,6 +311,13 @@ class iDBN:
             raise ValueError("data-parallel training needs the fused "
                              "epoch path (a dataloader with "
                              ".materialize(), or fused=True)")
+        epochs = int(epochs)
+        start_epoch = int(start_epoch)
+        if not 0 <= start_epoch <= epochs:
+            raise ValueError(f"start_epoch {start_epoch} outside "
+                             f"[0, {epochs}]")
+        if checkpoint_every and not checkpoint_path:
+            raise ValueError("checkpoint_every needs a checkpoint_path")
         data = None
         if fused:
             imgs = self.dataloader.materialize()[0]
@@ -306,59 +330,76 @@ class iDBN:
 
         if fused and self.wandb_run is None:
             # Epoch-blocked path: without a run object no per-epoch
-            # logging fires, so run ALL epochs in one dispatch (nested
-            # scan) — identical RNG/key derivation to the per-epoch path,
-            # but per-call (tunnel) latency is paid once instead of E
-            # times.
-            E = int(epochs)
-            lr_arr = jnp.asarray([self._schedule(e)[0] for e in range(E)],
-                                 jnp.float32)
-            mom_arr = jnp.asarray([self._schedule(e)[1] for e in range(E)],
-                                  jnp.float32)
+            # logging fires, so run the epochs in as few dispatches as
+            # possible (nested scan) — identical RNG/key derivation to
+            # the per-epoch path, but per-call (tunnel) latency is paid
+            # once per block instead of once per epoch. Checkpointing
+            # splits the run at multiples of checkpoint_every; equal-size
+            # blocks reuse one compiled executable.
+            from multimodal_idbn_tpu.checkpoint import checkpoint_epochs
             bs = getattr(self.dataloader, "batch_size", 128)
-            with timer.step(E):
-                if self.use_pcd:
-                    (states, self._pcd_chains, sums,
-                     counts) = dbn_train.idbn_epoch_block_pcd(
-                        self._states(), self._ensure_pcd_chains(bs),
-                        epoch_key, data, jnp.arange(E, dtype=jnp.int32),
-                        lr_arr, mom_arr, self.layers[0].weight_decay,
-                        self.sparsity_factor, cd=self.cd_k,
-                        sparsity_flags=self._sparsity_flags(),
-                        batch_size=bs, n_epochs=E,
-                        compute_dtype=self.compute_dtype)
-                elif mesh is not None:
-                    # Blocked DP: same single dispatch, batch axis sharded
-                    # over the mesh (identical key derivation, so results
-                    # match single-device to reduction order).
-                    from multimodal_idbn_tpu.parallel import (
-                        dp_idbn_epoch_block)
-                    states, sums, counts = dp_idbn_epoch_block(
-                        mesh, self._states(), epoch_key, data,
-                        jnp.arange(E, dtype=jnp.int32), lr_arr, mom_arr,
-                        self.layers[0].weight_decay, self.sparsity_factor,
-                        cd=self.cd_k,
-                        sparsity_flags=self._sparsity_flags(),
-                        batch_size=bs, n_epochs=E)
-                else:
-                    states, sums, counts = dbn_train.idbn_epoch_block(
-                        self._states(), epoch_key, data,
-                        jnp.arange(E, dtype=jnp.int32), lr_arr, mom_arr,
-                        self.layers[0].weight_decay, self.sparsity_factor,
-                        cd=self.cd_k,
-                        sparsity_flags=self._sparsity_flags(),
-                        batch_size=bs, n_epochs=E,
-                        compute_dtype=self.compute_dtype,
-                        fast_sampler=self._fast_sampler())
-                self._set_states(states)
-            sums = np.asarray(sums)
-            counts = np.asarray(counts)
-            self.loss_history.extend(
-                (sums / np.maximum(1.0, counts)).tolist())
+            for b_start, b_end in checkpoint_epochs(
+                    start_epoch, epochs,
+                    checkpoint_every if checkpoint_path else 0):
+                E = b_end - b_start
+                idx = jnp.arange(b_start, b_end, dtype=jnp.int32)
+                lr_arr = jnp.asarray(
+                    [self._schedule(e)[0] for e in range(b_start, b_end)],
+                    jnp.float32)
+                mom_arr = jnp.asarray(
+                    [self._schedule(e)[1] for e in range(b_start, b_end)],
+                    jnp.float32)
+                with timer.step(E):
+                    if self.use_pcd:
+                        (states, self._pcd_chains, sums,
+                         counts) = dbn_train.idbn_epoch_block_pcd(
+                            self._states(), self._ensure_pcd_chains(bs),
+                            epoch_key, data, idx,
+                            lr_arr, mom_arr, self.layers[0].weight_decay,
+                            self.sparsity_factor, cd=self.cd_k,
+                            sparsity_flags=self._sparsity_flags(),
+                            batch_size=bs, n_epochs=E,
+                            compute_dtype=self.compute_dtype)
+                    elif mesh is not None:
+                        # Blocked DP: same dispatch, batch axis sharded
+                        # over the mesh (identical key derivation, so
+                        # results match single-device to reduction order).
+                        from multimodal_idbn_tpu.parallel import (
+                            dp_idbn_epoch_block)
+                        states, sums, counts = dp_idbn_epoch_block(
+                            mesh, self._states(), epoch_key, data,
+                            idx, lr_arr, mom_arr,
+                            self.layers[0].weight_decay,
+                            self.sparsity_factor, cd=self.cd_k,
+                            sparsity_flags=self._sparsity_flags(),
+                            batch_size=bs, n_epochs=E)
+                    else:
+                        states, sums, counts = dbn_train.idbn_epoch_block(
+                            self._states(), epoch_key, data,
+                            idx, lr_arr, mom_arr,
+                            self.layers[0].weight_decay,
+                            self.sparsity_factor, cd=self.cd_k,
+                            sparsity_flags=self._sparsity_flags(),
+                            batch_size=bs, n_epochs=E,
+                            compute_dtype=self.compute_dtype,
+                            fast_sampler=self._fast_sampler())
+                    self._set_states(states)
+                sums = np.asarray(sums)
+                counts = np.asarray(counts)
+                self.loss_history.extend(
+                    (sums / np.maximum(1.0, counts)).tolist())
+                if checkpoint_path and checkpoint_every and b_end < epochs:
+                    self._save_train_checkpoint(checkpoint_path, b_end)
             self.epoch_timer = timer
             return
 
-        for epoch in range(int(epochs)):
+        if (start_epoch and not fused
+                and hasattr(self.dataloader, "_epoch")):
+            # Our DataLoader derives each epoch's shuffle from an internal
+            # counter; align it so the resumed run sees the same batch
+            # order the uninterrupted run would have.
+            self.dataloader._epoch = start_epoch
+        for epoch in range(start_epoch, epochs):
             with timer.step():
                 if fused:
                     mean_loss = self._train_epoch_fused(
@@ -379,6 +420,10 @@ class iDBN:
                          epoch=epoch)
 
             self._log_epoch(epoch, mean_loss, log_every_pca, log_every_probe)
+            if (checkpoint_path and checkpoint_every
+                    and (epoch + 1) % checkpoint_every == 0
+                    and epoch + 1 < epochs):
+                self._save_train_checkpoint(checkpoint_path, epoch + 1)
         self.epoch_timer = timer
 
     def reinit_layers(self, seed_offset: int = 0) -> None:

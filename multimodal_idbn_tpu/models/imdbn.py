@@ -447,13 +447,24 @@ class iMDBN:
     def train_joint(self, epochs: int, log_every_pca: int = 25,
                     log_every_probe: int = 10, log_every: int = 5,
                     w_rec: float = 1.0, w_sup: float = 0.0,
-                    fused: Optional[bool] = None) -> None:
+                    fused: Optional[bool] = None, start_epoch: int = 0,
+                    checkpoint_every: int = 0,
+                    checkpoint_path: Optional[str] = None) -> None:
         """Joint training: 8 warmup y-clamp epochs, then free CD + aux
         clamps, cross-modal metrics every batch (reference imdbn.py:508-712).
 
         ``w_rec``/``w_sup`` are accepted and unused, as in the reference
         (imdbn.py:534-535). ``fused=None`` auto-selects the on-device epoch
         path when the dataloader materializes.
+
+        Crash-safe resume (framework extension): ``checkpoint_every=N`` +
+        ``checkpoint_path`` write a resumable checkpoint (joint + image
+        states, momentum, z_class_mean) every N epochs; ``start_epoch=k``
+        continues a run restored by ``checkpoint.load_train_checkpoint``
+        (the data-derived bias init is skipped — the restored state
+        already carries the trained biases). Epoch RNG is
+        ``fold_in(epoch_key, absolute_epoch)``, so resume is
+        bit-identical (tests/test_resume.py).
         """
         del w_rec, w_sup
         print("[iMDBN] joint training (with warmup y-clamp)")
@@ -465,6 +476,13 @@ class iMDBN:
             raise ValueError("data-parallel joint training needs the "
                              "fused epoch path (a dataloader with "
                              ".materialize(), or fused=True)")
+        epochs = int(epochs)
+        start_epoch = int(start_epoch)
+        if not 0 <= start_epoch <= epochs:
+            raise ValueError(f"start_epoch {start_epoch} outside "
+                             f"[0, {epochs}]")
+        if checkpoint_every and not checkpoint_path:
+            raise ValueError("checkpoint_every needs a checkpoint_path")
 
         aux_cond_steps = int(self.params.get("JOINT_AUX_COND_STEPS", 10))
         metrics_every = int(self.params.get("CROSS_METRICS_EVERY", 1))
@@ -472,12 +490,14 @@ class iMDBN:
 
         if fused:
             X, Y, Z = self._materialized_train()
-            self.init_joint_bias_from_data(n_batches=10, _cached=(X, Y, Z))
+            if start_epoch == 0:
+                self.init_joint_bias_from_data(n_batches=10,
+                                               _cached=(X, Y, Z))
             bs = getattr(self.dataloader, "batch_size", 128)
             idbn_states = self.image_idbn._states()
             n = Z.shape[0]
             nb = n // bs
-        else:
+        elif start_epoch == 0:
             self.init_joint_bias_from_data(n_batches=10)
 
         from multimodal_idbn_tpu.utils.profiling import StepTimer
@@ -489,14 +509,23 @@ class iMDBN:
             # dispatches (nested scans) — identical key derivation to the
             # per-epoch path, tunnel latency paid twice instead of E times.
             # With a mesh the same blocks run batch-sharded (DP).
-            self._train_joint_blocked(int(epochs), epoch_key, X, Y, Z,
+            self._train_joint_blocked(epochs, epoch_key, X, Y, Z,
                                       idbn_states, bs, n, aux_cond_steps,
-                                      metrics_every, timer, mesh=mesh)
+                                      metrics_every, timer, mesh=mesh,
+                                      start_epoch=start_epoch,
+                                      checkpoint_every=checkpoint_every,
+                                      checkpoint_path=checkpoint_path)
             self.epoch_timer = timer
             print("[iMDBN] joint training finished.")
             return
 
-        for epoch in range(int(epochs)):
+        if (start_epoch and not fused
+                and hasattr(self.dataloader, "_epoch")):
+            # Non-fused epochs draw batch order from the DataLoader's
+            # internal epoch counter; align it so the resumed run sees
+            # the same shuffles the uninterrupted run would have.
+            self.dataloader._epoch = start_epoch
+        for epoch in range(start_epoch, epochs):
             warmup = epoch < WARMUP_Y_EPOCHS
             jr = self.joint_rbm
             from multimodal_idbn_tpu.ops.schedules import (
@@ -571,30 +600,40 @@ class iMDBN:
 
             self._log_joint_epoch(epoch, cd_losses, tot, npix,
                                   log_every_pca, log_every_probe, log_every)
+            if (checkpoint_path and checkpoint_every
+                    and (epoch + 1) % checkpoint_every == 0
+                    and epoch + 1 < epochs):
+                from multimodal_idbn_tpu.checkpoint import (
+                    save_train_checkpoint)
+                save_train_checkpoint(self, checkpoint_path, phase="joint",
+                                      next_epoch=epoch + 1)
 
         self.epoch_timer = timer
         print("[iMDBN] joint training finished.")
 
     def _train_joint_blocked(self, epochs, epoch_key, X, Y, Z, idbn_states,
                              bs, n, aux_cond_steps, metrics_every,
-                             timer, mesh=None) -> None:
-        """Run joint training as (warmup, main) epoch blocks — one
-        dispatch each — with RNG identical to the per-epoch path."""
+                             timer, mesh=None, start_epoch: int = 0,
+                             checkpoint_every: int = 0,
+                             checkpoint_path=None) -> None:
+        """Run joint training as epoch blocks — one dispatch each — with
+        RNG identical to the per-epoch path. Blocks split at the warmup
+        boundary (the warmup/main schedules compile differently) and, when
+        checkpointing, at multiples of ``checkpoint_every``."""
+        from multimodal_idbn_tpu.checkpoint import checkpoint_epochs
         from multimodal_idbn_tpu.ops.schedules import (
             effective_lr, effective_momentum)
 
         jr = self.joint_rbm
-        blocks = []
-        if epochs > 0:
-            w_end = min(WARMUP_Y_EPOCHS, epochs)
-            if w_end > 0:
-                blocks.append((0, w_end, True))
-            if epochs > w_end:
-                blocks.append((w_end, epochs, False))
+        w_end = min(WARMUP_Y_EPOCHS, epochs)
+        blocks = [(s, e, s < w_end) for s, e in checkpoint_epochs(
+            start_epoch, epochs,
+            checkpoint_every if checkpoint_path else 0, w_end)]
 
         joint = jr.state
         final_totals = None
-        self.joint_metrics_history = []
+        if start_epoch == 0 or not hasattr(self, "joint_metrics_history"):
+            self.joint_metrics_history = []
         for start, end, warmup in blocks:
             E = end - start
             idx = jnp.arange(start, end, dtype=jnp.int32)
@@ -645,6 +684,12 @@ class iMDBN:
                     })
             final_totals = imdbn_ops.CrossMetrics(
                 *(np.asarray(t)[-1] for t in totals))
+            if checkpoint_path and checkpoint_every and end < epochs:
+                jr.state = joint  # checkpoint the live block result
+                from multimodal_idbn_tpu.checkpoint import (
+                    save_train_checkpoint)
+                save_train_checkpoint(self, checkpoint_path, phase="joint",
+                                      next_epoch=end)
         jr.state = joint
 
         if final_totals is not None:

@@ -644,12 +644,27 @@ class iMDBN_BiModal:
     def train_joint(self, epochs: int, log_every: int = 5,
                     log_every_pca: int = 25, log_every_probe: int = 10,
                     log_every_trajectory: int = 50,
-                    fused: Optional[bool] = None) -> None:
+                    fused: Optional[bool] = None, start_epoch: int = 0,
+                    checkpoint_every: int = 0,
+                    checkpoint_path: Optional[str] = None) -> None:
         """Alternating-modality warmup then per-layer free CD + aux clamps
-        with per-batch cross metrics (reference imdbn_bimodal.py:711-961)."""
+        with per-batch cross metrics (reference imdbn_bimodal.py:711-961).
+
+        ``start_epoch``/``checkpoint_every``/``checkpoint_path``: crash-
+        safe resume, same contract as ``iMDBN.train_joint`` (bit-identical
+        via ``fold_in(epoch_key, absolute_epoch)``, tests/test_resume.py).
+        """
+        epochs = int(epochs)
+        start_epoch = int(start_epoch)
+        if not 0 <= start_epoch <= epochs:
+            raise ValueError(f"start_epoch {start_epoch} outside "
+                             f"[0, {epochs}]")
+        if checkpoint_every and not checkpoint_path:
+            raise ValueError("checkpoint_every needs a checkpoint_path")
         print(f"[iMDBN_BiModal] joint training: {self.num_joint_layers} "
               f"layers, {epochs} epochs total")
-        self.init_joint_bias_from_data(n_batches=10)
+        if start_epoch == 0:
+            self.init_joint_bias_from_data(n_batches=10)
 
         if fused is None:
             fused = hasattr(self.dataloader, "materialize")
@@ -680,14 +695,12 @@ class iMDBN_BiModal:
         if fused and self.wandb_run is None:
             # Epoch-blocked path (no per-epoch logging without a run
             # object): warmup and main epochs as two dispatches.
+            from multimodal_idbn_tpu.checkpoint import checkpoint_epochs
             jr = self.joint_layers[0]
-            epochs = int(epochs)
-            blocks = []
             w_end = min(WARMUP_EPOCHS, epochs)
-            if w_end > 0:
-                blocks.append((0, w_end, True))
-            if epochs > w_end:
-                blocks.append((w_end, epochs, False))
+            blocks = [(s, e, s < w_end) for s, e in checkpoint_epochs(
+                start_epoch, epochs,
+                checkpoint_every if checkpoint_path else 0, w_end)]
             joint = self._joint_states()
             final_totals = None
             for start, end, warmup in blocks:
@@ -719,6 +732,13 @@ class iMDBN_BiModal:
                             jr.weight_decay, **statics))
                 final_totals = bimodal_ops.BimodalMetrics(
                     *(np.asarray(t)[-1] for t in totals))
+                if checkpoint_path and checkpoint_every and end < epochs:
+                    self._set_joint_states(joint)
+                    from multimodal_idbn_tpu.checkpoint import (
+                        save_train_checkpoint)
+                    save_train_checkpoint(self, checkpoint_path,
+                                          phase="bimodal_joint",
+                                          next_epoch=end)
             self._set_joint_states(joint)
             if final_totals is not None:
                 tot = {"n": float(final_totals.n),
@@ -729,7 +749,13 @@ class iMDBN_BiModal:
             print("[iMDBN_BiModal] joint training finished.")
             return
 
-        for epoch in range(int(epochs)):
+        if (start_epoch and not fused
+                and hasattr(self.dataloader, "_epoch")):
+            # Non-fused epochs draw batch order from the DataLoader's
+            # internal epoch counter; align it so the resumed run sees
+            # the same shuffles the uninterrupted run would have.
+            self.dataloader._epoch = start_epoch
+        for epoch in range(start_epoch, epochs):
             warmup = epoch < WARMUP_EPOCHS
             jr = self.joint_layers[0]
             lr = effective_lr(jr.lr, epoch, jr.dynamic_lr)
@@ -787,6 +813,14 @@ class iMDBN_BiModal:
             self._log_joint_epoch(epoch, cd_losses, tot, log_every,
                                   log_every_pca, log_every_probe,
                                   log_every_trajectory)
+            if (checkpoint_path and checkpoint_every
+                    and (epoch + 1) % checkpoint_every == 0
+                    and epoch + 1 < epochs):
+                from multimodal_idbn_tpu.checkpoint import (
+                    save_train_checkpoint)
+                save_train_checkpoint(self, checkpoint_path,
+                                      phase="bimodal_joint",
+                                      next_epoch=epoch + 1)
 
         print("[iMDBN_BiModal] joint training finished.")
 

@@ -69,6 +69,10 @@ def build_params(cfg: dict) -> dict:
         # its reconstruction collapses to blank level (measured bad-seed
         # rescue, iDBN.train_with_retry; 0 = reference behavior)
         "INIT_RETRY": t.get("init_retry", 0),
+        # framework extension: crash-safe resume — write a resumable
+        # checkpoint every N epochs (paths.checkpoint_dir); rerunning the
+        # same command continues bit-identically from the last checkpoint
+        "CHECKPOINT_EVERY": t.get("checkpoint_every", 0),
         "SEED": t.get("seed", 0),
     }
 
@@ -163,17 +167,58 @@ def main():
         print(f"[train_multimodal] data-parallel training over "
               f"{params['DP_DEVICES']} device(s)")
 
+    # Crash-safe resume (framework extension): with
+    # training.checkpoint_every, a resumable checkpoint is written every
+    # N epochs under paths.checkpoint_dir; rerunning the same command
+    # picks up bit-identically at the last checkpoint. Checkpoints are
+    # removed after the final model save.
+    from multimodal_idbn_tpu.checkpoint import load_train_checkpoint
+    ckpt_every = int(params.get("CHECKPOINT_EVERY", 0) or 0)
+    image_ckpt = joint_ckpt = None
+    image_start = joint_start = 0
+    image_done = False
+    if ckpt_every > 0:
+        ckpt_dir = Path(cfg.get("paths", {}).get(
+            "checkpoint_dir",
+            str(Path(cfg.get("paths", {}).get("save_dir", "./networks"))
+                / "checkpoints"))).expanduser()
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+        image_ckpt = ckpt_dir / "image.ckpt.npz"
+        joint_ckpt = ckpt_dir / "joint.ckpt.npz"
+        if joint_ckpt.exists():
+            _, joint_start = load_train_checkpoint(imdbn, str(joint_ckpt))
+            image_done = True
+            print(f"[train_multimodal] resuming joint training at epoch "
+                  f"{joint_start}/{params['EPOCHS_JOINT']}")
+        elif image_ckpt.exists():
+            _, image_start = load_train_checkpoint(imdbn.image_idbn,
+                                                   str(image_ckpt))
+            image_done = image_start >= int(params["EPOCHS_IMG"])
+            print(f"[train_multimodal] resuming image training at epoch "
+                  f"{image_start}/{params['EPOCHS_IMG']}")
+
     # 1) image iDBN: load if available, otherwise train
     image_pre = cfg.get("paths", {}).get("image_idbn_pretrained")
-    if not (image_pre and imdbn.load_pretrained_image_idbn(image_pre)):
+    if not (image_done
+            or (image_pre and imdbn.load_pretrained_image_idbn(image_pre))):
         print("Training image iDBN..." if not image_pre else
               "[main] fallback: training image iDBN from scratch...")
+        ckpt_kw = ({"checkpoint_every": ckpt_every,
+                    "checkpoint_path": str(image_ckpt)}
+                   if ckpt_every else {})
         init_retry = int(params.get("INIT_RETRY", 0) or 0)
-        if init_retry > 0:
+        if image_start > 0:
+            # resume: the restored weights already passed (or will pass)
+            # the retry criterion end-to-end; plain continuation
+            imdbn.image_idbn.train(
+                params["EPOCHS_IMG"], start_epoch=image_start,
+                log_every_pca=log_params["LOG_EVERY_PCA"],
+                log_every_probe=log_params["LOG_EVERY_PROBE"], **ckpt_kw)
+        elif init_retry > 0:
             retries = imdbn.image_idbn.train_with_retry(
                 params["EPOCHS_IMG"], max_retries=init_retry,
                 log_every_pca=log_params["LOG_EVERY_PCA"],
-                log_every_probe=log_params["LOG_EVERY_PROBE"])
+                log_every_probe=log_params["LOG_EVERY_PROBE"], **ckpt_kw)
             if retries:
                 print(f"[train_multimodal] init_retry: re-initialized "
                       f"{retries} time(s) after blank-level recon")
@@ -181,7 +226,12 @@ def main():
             imdbn.image_idbn.train(
                 params["EPOCHS_IMG"],
                 log_every_pca=log_params["LOG_EVERY_PCA"],
-                log_every_probe=log_params["LOG_EVERY_PROBE"])
+                log_every_probe=log_params["LOG_EVERY_PROBE"], **ckpt_kw)
+        if ckpt_every:
+            # phase-complete marker: a crash during joint training must
+            # not retrain the image stack
+            imdbn.image_idbn._save_train_checkpoint(
+                str(image_ckpt), int(params["EPOCHS_IMG"]))
 
     # optional: fine-tune last image RBM
     ft_epochs = int(cfg.get("paths", {}).get(
@@ -191,10 +241,15 @@ def main():
 
     # 2) joint training + full logging
     print("Training joint RBM...")
+    joint_kw = ({"checkpoint_every": ckpt_every,
+                 "checkpoint_path": str(joint_ckpt),
+                 "start_epoch": joint_start}
+                if ckpt_every else {})
     imdbn.train_joint(epochs=params["EPOCHS_JOINT"],
                       log_every=log_params["LOG_EVERY"],
                       log_every_pca=log_params["LOG_EVERY_PCA"],
-                      log_every_probe=log_params["LOG_EVERY_PROBE"])
+                      log_every_probe=log_params["LOG_EVERY_PROBE"],
+                      **joint_kw)
 
     # Save
     save_dir = Path(cfg.get("paths", {}).get("save_dir",
@@ -203,6 +258,14 @@ def main():
     save_path = save_dir / (f"{cfg.get('paths', {}).get('save_name', 'imdbn_trained')}.pkl")
     imdbn.save_model(str(save_path))
     print(f"Saved multimodal model to {save_path}")
+
+    if ckpt_every:
+        # the run completed and the model is saved; the crash-recovery
+        # checkpoints are no longer needed (and a later fresh run with
+        # the same config should actually train)
+        for p in (image_ckpt, joint_ckpt):
+            if p is not None and p.exists():
+                p.unlink()
 
     if wandb_run:
         wandb_run.finish()

@@ -1,0 +1,404 @@
+"""Crash-safe resume tests (framework extension — SURVEY.md §5.4: the
+reference only pickles at phase boundaries and cannot resume mid-phase).
+
+The contract under test: every epoch's RNG derives from
+``fold_in(epoch_key, absolute_epoch)``, so a run checkpointed at epoch k
+and resumed with ``start_epoch=k`` is bit-identical to the uninterrupted
+run — weights, momentum buffers, loss history, and (for PCD) fantasy
+chains. Covered here for iDBN (blocked, per-epoch, PCD), iMDBN joint,
+iMDBN_BiModal joint, and end-to-end through the train_multimodal.py CLI
+with an injected mid-joint crash.
+"""
+
+import os
+import pickle
+import subprocess
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from multimodal_idbn_tpu.checkpoint import (
+    checkpoint_epochs,
+    load_train_checkpoint,
+    save_checkpoint,
+    save_train_checkpoint,
+)
+from multimodal_idbn_tpu.data import create_dataloaders_uniform
+from multimodal_idbn_tpu.models import iDBN, iMDBN, iMDBN_BiModal
+
+ROOT = Path(__file__).resolve().parent.parent
+
+PARAMS = {
+    "LEARNING_RATE": 0.1,
+    "WEIGHT_PENALTY": 1e-4,
+    "INIT_MOMENTUM": 0.5,
+    "FINAL_MOMENTUM": 0.9,
+    "LEARNING_RATE_DYNAMIC": True,
+    "CD": 1,
+    "JOINT_CD": 1,
+    "JOINT_LEARNING_RATE": 0.04,
+    "CROSS_GIBBS_STEPS": 3,
+    "JOINT_AUX_COND_STEPS": 2,
+}
+SIDE = 8
+K = 4
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_caches_after_module():
+    # Heavy module: drop compiled executables at teardown (see the
+    # backend_compile_and_load segfault note in CLAUDE.md).
+    yield
+    jax.clear_caches()
+
+
+def assert_states_equal(sa, sb):
+    fa = jax.tree_util.tree_leaves(sa)
+    fb = jax.tree_util.tree_leaves(sb)
+    assert len(fa) == len(fb)
+    for x, y in zip(fa, fb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+# ---------------------------------------------------------------------------
+# checkpoint_epochs block splitting
+# ---------------------------------------------------------------------------
+
+def test_checkpoint_epochs_no_every():
+    assert checkpoint_epochs(0, 10, 0) == [(0, 10)]
+
+
+def test_checkpoint_epochs_every():
+    assert checkpoint_epochs(0, 10, 4) == [(0, 4), (4, 8), (8, 10)]
+
+
+def test_checkpoint_epochs_resume_start():
+    # resuming at 3: first edge is the next multiple of 4
+    assert checkpoint_epochs(3, 10, 4) == [(3, 4), (4, 8), (8, 10)]
+
+
+def test_checkpoint_epochs_extra_edges():
+    # a warmup boundary at 8 splits a block even off-cadence
+    assert checkpoint_epochs(0, 10, 3, 8) == [
+        (0, 3), (3, 6), (6, 8), (8, 9), (9, 10)]
+    assert checkpoint_epochs(0, 10, 0, 8) == [(0, 8), (8, 10)]
+    # edges at/outside the range are ignored
+    assert checkpoint_epochs(2, 10, 0, 2, 10, 15) == [(2, 10)]
+
+
+def test_checkpoint_epochs_empty_and_contiguous():
+    assert checkpoint_epochs(5, 5, 2) == []
+    blocks = checkpoint_epochs(1, 23, 5, 8)
+    assert blocks[0][0] == 1 and blocks[-1][1] == 23
+    for (a, b), (c, d) in zip(blocks, blocks[1:]):
+        assert b == c and a < b
+
+
+# ---------------------------------------------------------------------------
+# save/load_train_checkpoint round trip
+# ---------------------------------------------------------------------------
+
+def _fresh_loaders(**kw):
+    kw.setdefault("batch_size", 16)
+    kw.setdefault("n_samples", 64)
+    kw.setdefault("num_classes", K)
+    kw.setdefault("side", SIDE)
+    kw.setdefault("seed", 0)
+    return create_dataloaders_uniform(**kw)
+
+
+def _make_idbn(extra=None):
+    train, val, _ = _fresh_loaders()
+    params = dict(PARAMS, **(extra or {}))
+    return iDBN([SIDE * SIDE, 16, 8], params, train, val, seed=0)
+
+
+def test_train_checkpoint_roundtrip(tmp_path):
+    m = _make_idbn()
+    m.loss_history = [1.5, 0.75]
+    p = str(tmp_path / "ck")
+    save_train_checkpoint(m, p, phase="image", next_epoch=2,
+                          loss_history=m.loss_history)
+    assert (tmp_path / "ck.npz").exists()  # suffix normalized
+    m2 = _make_idbn()
+    phase, nxt = load_train_checkpoint(m2, p)
+    assert (phase, nxt) == ("image", 2)
+    assert m2.loss_history == [1.5, 0.75]
+    assert_states_equal(m._states(), m2._states())
+
+
+def test_save_checkpoint_atomic(tmp_path):
+    m = _make_idbn()
+    p = str(tmp_path / "atomic")
+    save_checkpoint(m, p)
+    save_checkpoint(m, p)  # overwrite via os.replace, no stale tmp
+    names = sorted(f.name for f in tmp_path.iterdir())
+    assert names == ["atomic.npz"]
+
+
+def test_train_arg_validation(tmp_path):
+    m = _make_idbn()
+    with pytest.raises(ValueError, match="start_epoch"):
+        m.train(2, start_epoch=3)
+    with pytest.raises(ValueError, match="checkpoint_path"):
+        m.train(2, checkpoint_every=1)
+
+
+# ---------------------------------------------------------------------------
+# iDBN: blocked (fused) path
+# ---------------------------------------------------------------------------
+
+def test_idbn_blocked_resume_bit_identical(tmp_path):
+    ck = str(tmp_path / "idbn.ckpt")
+
+    a = _make_idbn()
+    a.train(6)
+
+    # checkpointing splits 6 epochs into three E=2 blocks — results must
+    # not change vs the single E=6 dispatch
+    b = _make_idbn()
+    b.train(6, checkpoint_every=2, checkpoint_path=ck)
+    assert_states_equal(a._states(), b._states())
+    np.testing.assert_array_equal(a.loss_history, b.loss_history)
+
+    # the last mid-run checkpoint (next_epoch=4) resumes bit-identically
+    c = _make_idbn()
+    phase, nxt = load_train_checkpoint(c, ck)
+    assert (phase, nxt) == ("image", 4)
+    c.train(6, start_epoch=4)
+    assert_states_equal(a._states(), c._states())
+    np.testing.assert_array_equal(a.loss_history, c.loss_history)
+
+
+def test_idbn_per_epoch_resume_bit_identical(tmp_path):
+    ck = str(tmp_path / "idbn_pe.ckpt")
+
+    a = _make_idbn()
+    a.train(4, fused=False)
+
+    b = _make_idbn()
+    b.train(4, fused=False, checkpoint_every=2, checkpoint_path=ck)
+    assert_states_equal(a._states(), b._states())
+
+    # fresh model + fresh loader (DataLoader._epoch starts at 0; resume
+    # must pin it to start_epoch for identical shuffles)
+    c = _make_idbn()
+    phase, nxt = load_train_checkpoint(c, ck)
+    assert nxt == 2
+    c.train(4, fused=False, start_epoch=2)
+    assert_states_equal(a._states(), c._states())
+    np.testing.assert_array_equal(a.loss_history, c.loss_history)
+
+
+def test_idbn_pcd_resume_restores_chains(tmp_path):
+    ck = str(tmp_path / "idbn_pcd.ckpt")
+    extra = {"PCD": True}
+
+    a = _make_idbn(extra)
+    a.train(4)
+
+    b = _make_idbn(extra)
+    b.train(4, checkpoint_every=2, checkpoint_path=ck)
+    assert_states_equal(a._states(), b._states())
+    assert_states_equal(a._pcd_chains, b._pcd_chains)
+
+    c = _make_idbn(extra)
+    _, nxt = load_train_checkpoint(c, ck)
+    assert nxt == 2
+    assert c._pcd_chains is not None  # fantasy chains restored
+    c.train(4, start_epoch=2)
+    assert_states_equal(a._states(), c._states())
+    assert_states_equal(a._pcd_chains, c._pcd_chains)
+
+
+# ---------------------------------------------------------------------------
+# iMDBN joint (blocked path)
+# ---------------------------------------------------------------------------
+
+def _make_imdbn():
+    train, val, _ = _fresh_loaders()
+    return iMDBN([SIDE * SIDE, 16], 12, params=dict(PARAMS),
+                 dataloader=train, val_loader=val, num_labels=K, seed=0)
+
+
+def test_imdbn_joint_resume_bit_identical(tmp_path):
+    ck = str(tmp_path / "joint.ckpt")
+
+    a = _make_imdbn()
+    a.train_joint(epochs=6)
+
+    b = _make_imdbn()
+    b.train_joint(epochs=6, checkpoint_every=2, checkpoint_path=ck)
+    assert_states_equal(a.joint_rbm.state, b.joint_rbm.state)
+
+    c = _make_imdbn()
+    phase, nxt = load_train_checkpoint(c, ck)
+    assert (phase, nxt) == ("joint", 4)
+    # z_class_mean travels with the checkpoint (init_joint_bias_from_data
+    # is skipped on resume)
+    np.testing.assert_array_equal(np.asarray(a.z_class_mean),
+                                  np.asarray(c.z_class_mean))
+    c.train_joint(epochs=6, start_epoch=4)
+    assert_states_equal(a.joint_rbm.state, c.joint_rbm.state)
+
+
+# ---------------------------------------------------------------------------
+# iMDBN_BiModal joint (blocked path)
+# ---------------------------------------------------------------------------
+
+def _make_bimodal():
+    train, val, _ = _fresh_loaders(second_modality="mnist100")
+    return iMDBN_BiModal([SIDE * SIDE, 16], [28 * 56, 24], [12, 8],
+                         params=dict(PARAMS), dataloader=train,
+                         val_loader=val, seed=0)
+
+
+def test_bimodal_joint_resume_bit_identical(tmp_path):
+    ck = str(tmp_path / "bimodal.ckpt")
+
+    a = _make_bimodal()
+    a.train_joint(epochs=6)
+
+    b = _make_bimodal()
+    b.train_joint(epochs=6, checkpoint_every=2, checkpoint_path=ck)
+    assert_states_equal(a._joint_states(), b._joint_states())
+
+    c = _make_bimodal()
+    phase, nxt = load_train_checkpoint(c, ck)
+    assert (phase, nxt) == ("bimodal_joint", 4)
+    c.train_joint(epochs=6, start_epoch=4)
+    assert_states_equal(a._joint_states(), c._joint_states())
+
+
+# ---------------------------------------------------------------------------
+# End-to-end: train_multimodal.py crash mid-joint → rerun resumes and
+# produces the same model as an uninterrupted run
+# ---------------------------------------------------------------------------
+
+_RESUME_CFG = """\
+dataset:
+  path: null
+  batch_size: 16
+  multimodal_flag: true
+  n_samples: 64
+  side: 8
+
+model:
+  image_layers: [64, 16]
+  joint_hidden: 12
+  num_labels: 4
+
+training:
+  learning_rate: 0.1
+  weight_penalty: 0.0001
+  init_momentum: 0.5
+  final_momentum: 0.9
+  learning_rate_dynamic: true
+  cd: 1
+  epochs_image: 2
+  joint_learning_rate: 0.04
+  joint_cd: 1
+  epochs_joint: 4
+  cross_gibbs_steps: 3
+  JOINT_AUX_COND_STEPS: 2
+  seed: 0
+  checkpoint_every: 1
+
+paths:
+  save_dir: "{save_dir}"
+  save_name: "imdbn_resume"
+
+wandb:
+  enable: false
+
+logging:
+  log_every: 5
+  log_every_pca: 100
+  log_every_probe: 100
+"""
+
+
+def _run_cli(cfg_path, prelude=""):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');\n"
+        + prelude +
+        "import sys; sys.argv = ['train_multimodal.py', '--config', "
+        f"{str(cfg_path)!r}]\n"
+        "import runpy; runpy.run_path("
+        f"{str(ROOT / 'scripts' / 'train_multimodal.py')!r}, "
+        "run_name='__main__')\n")
+    return subprocess.run([sys.executable, "-c", code],
+                          capture_output=True, text=True, env=env,
+                          cwd=str(ROOT), timeout=900)
+
+
+_CRASH_PRELUDE = """\
+import multimodal_idbn_tpu.checkpoint as _ck
+_real_save = _ck.save_train_checkpoint
+def _crashing(model, path, phase, next_epoch, loss_history=None):
+    _real_save(model, path, phase=phase, next_epoch=next_epoch,
+               loss_history=loss_history)
+    if phase == 'joint' and int(next_epoch) >= 2:
+        raise SystemExit('INJECTED_CRASH')
+_ck.save_train_checkpoint = _crashing
+"""
+
+
+def _payload_arrays(obj, prefix=""):
+    """Flatten every ndarray in a nested save payload to {path: array}."""
+    out = {}
+    if isinstance(obj, dict):
+        for k, v in obj.items():
+            out.update(_payload_arrays(v, f"{prefix}/{k}"))
+    elif isinstance(obj, (list, tuple)):
+        for i, v in enumerate(obj):
+            out.update(_payload_arrays(v, f"{prefix}[{i}]"))
+    elif isinstance(obj, np.ndarray):
+        out[prefix] = obj
+    return out
+
+
+def test_cli_crash_resume_e2e(tmp_path):
+    crash_dir = tmp_path / "crash"
+    clean_dir = tmp_path / "clean"
+    for d in (crash_dir, clean_dir):
+        d.mkdir()
+    crash_cfg = tmp_path / "crash.yaml"
+    crash_cfg.write_text(_RESUME_CFG.format(save_dir=crash_dir))
+    clean_cfg = tmp_path / "clean.yaml"
+    clean_cfg.write_text(_RESUME_CFG.format(save_dir=clean_dir))
+
+    # 1) run with an injected crash right after the joint checkpoint at
+    #    epoch 2 is written
+    proc = _run_cli(crash_cfg, prelude=_CRASH_PRELUDE)
+    assert proc.returncode != 0
+    assert "INJECTED_CRASH" in proc.stderr, proc.stderr[-3000:]
+    joint_ckpt = crash_dir / "checkpoints" / "joint.ckpt.npz"
+    assert joint_ckpt.exists()
+    assert not (crash_dir / "imdbn_resume.pkl").exists()
+
+    # 2) rerun the same command: it must resume at joint epoch 2 and
+    #    finish, then clean up its crash-recovery checkpoints
+    proc = _run_cli(crash_cfg)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "resuming joint training at epoch 2/4" in proc.stdout
+    assert "Saved multimodal model" in proc.stdout
+    assert not joint_ckpt.exists()
+    assert not (crash_dir / "checkpoints" / "image.ckpt.npz").exists()
+
+    # 3) an uninterrupted run must produce the bit-identical model
+    proc = _run_cli(clean_cfg)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+
+    with open(crash_dir / "imdbn_resume.pkl", "rb") as f:
+        resumed = _payload_arrays(pickle.load(f))
+    with open(clean_dir / "imdbn_resume.pkl", "rb") as f:
+        clean = _payload_arrays(pickle.load(f))
+    assert set(resumed) == set(clean) and resumed
+    for k in resumed:
+        np.testing.assert_array_equal(resumed[k], clean[k], err_msg=k)
