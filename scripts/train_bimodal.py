@@ -69,6 +69,10 @@ def build_params(cfg: dict) -> dict:
         # framework extension: blank-recon rescue for the modality DBNs
         # (iDBN.train_with_retry; 0 = reference behavior)
         "INIT_RETRY": t.get("init_retry", 0),
+        # framework extension: crash-safe resume — write a resumable
+        # checkpoint every N epochs (paths.checkpoint_dir); rerunning the
+        # same command continues bit-identically from the last checkpoint
+        "CHECKPOINT_EVERY": t.get("checkpoint_every", 0),
         "SEED": t.get("seed", 0),
     }
 
@@ -129,19 +133,25 @@ def _create_modality_dataloader(train_loader, modality_idx: int):
     return DataLoader(ds, batch_size=train_loader.batch_size, shuffle=True)
 
 
-def _train_mod_dbn(bimodal, train_loader, params, modality_idx: int):
+def _train_mod_dbn(bimodal, train_loader, params, modality_idx: int,
+                   start_epoch: int = 0, ckpt_kw: dict | None = None):
     dbn = bimodal.mod1_dbn if modality_idx == 0 else bimodal.mod2_dbn
     dbn.dataloader = _create_modality_dataloader(train_loader, modality_idx)
     epochs = params["EPOCHS_MOD1" if modality_idx == 0 else "EPOCHS_MOD2"]
     print(f"  Training MOD{modality_idx + 1} iDBN for {epochs} epochs...")
     init_retry = int(params.get("INIT_RETRY", 0) or 0)
-    if init_retry > 0:
-        retries = dbn.train_with_retry(epochs, max_retries=init_retry)
+    kw = dict(ckpt_kw or {})
+    if start_epoch > 0:
+        # resume: the restored weights already passed (or will pass) the
+        # retry criterion end-to-end; plain continuation
+        dbn.train(epochs, start_epoch=start_epoch, **kw)
+    elif init_retry > 0:
+        retries = dbn.train_with_retry(epochs, max_retries=init_retry, **kw)
         if retries:
             print(f"  [init_retry] MOD{modality_idx + 1} re-initialized "
                   f"{retries} time(s) after blank-level recon")
     else:
-        dbn.train(epochs)
+        dbn.train(epochs, **kw)
 
 
 def main():
@@ -199,44 +209,111 @@ def main():
         seed=params.get("SEED"),
     )
 
+    # Crash-safe resume (framework extension, mirroring
+    # train_multimodal.py): with training.checkpoint_every, each phase
+    # writes a resumable checkpoint every N epochs under
+    # paths.checkpoint_dir; rerunning the same command picks up
+    # bit-identically at the last checkpoint. A phase-complete marker
+    # (next_epoch == EPOCHS, written AFTER the finetune hook) keeps a
+    # crash in a later phase from retraining earlier ones. Checkpoints
+    # are removed after the final model save.
+    from multimodal_idbn_tpu.checkpoint import (load_train_checkpoint,
+                                                save_train_checkpoint)
+    ckpt_every = int(params.get("CHECKPOINT_EVERY", 0) or 0)
+    mod1_ckpt = mod2_ckpt = joint_ckpt = None
+    mod1_start = mod2_start = joint_start = 0
+    mod1_done = mod2_done = False
+    if ckpt_every > 0:
+        ckpt_dir = Path(cfg.get("paths", {}).get(
+            "checkpoint_dir",
+            str(Path(cfg.get("paths", {}).get("save_dir", "./networks"))
+                / "checkpoints"))).expanduser()
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+        mod1_ckpt = ckpt_dir / "mod1.ckpt.npz"
+        mod2_ckpt = ckpt_dir / "mod2.ckpt.npz"
+        joint_ckpt = ckpt_dir / "joint.ckpt.npz"
+        if joint_ckpt.exists():
+            # restores every RBM in the model (both modality stacks +
+            # joint layers), so the mod phases are skipped entirely
+            _, joint_start = load_train_checkpoint(bimodal, str(joint_ckpt))
+            mod1_done = mod2_done = True
+            print(f"[train_bimodal] resuming joint training at epoch "
+                  f"{joint_start}/{params['EPOCHS_JOINT']}")
+        else:
+            if mod1_ckpt.exists():
+                _, mod1_start = load_train_checkpoint(bimodal.mod1_dbn,
+                                                      str(mod1_ckpt))
+                mod1_done = mod1_start >= int(params["EPOCHS_MOD1"])
+                print(f"[train_bimodal] resuming MOD1 training at epoch "
+                      f"{mod1_start}/{params['EPOCHS_MOD1']}")
+            if mod2_ckpt.exists():
+                _, mod2_start = load_train_checkpoint(bimodal.mod2_dbn,
+                                                      str(mod2_ckpt))
+                mod2_done = mod2_start >= int(params["EPOCHS_MOD2"])
+                print(f"[train_bimodal] resuming MOD2 training at epoch "
+                      f"{mod2_start}/{params['EPOCHS_MOD2']}")
+
+    def _mod_ckpt_kw(path):
+        return ({"checkpoint_every": ckpt_every,
+                 "checkpoint_path": str(path)} if ckpt_every else None)
+
     # 1) MOD1 DBN (numerosity)
     mod1_pre = cfg.get("paths", {}).get("mod1_pretrained")
-    if mod1_pre and bimodal.load_pretrained_mod1_dbn(mod1_pre):
+    if mod1_done or (mod1_pre and bimodal.load_pretrained_mod1_dbn(mod1_pre)):
         pass
     else:
         if mod1_pre:
             print("[main] fallback: training MOD1 iDBN from scratch...")
         else:
             print("Training MOD1 iDBN (Numerosity)...")
-        _train_mod_dbn(bimodal, train_loader, params, 0)
+        _train_mod_dbn(bimodal, train_loader, params, 0,
+                       start_epoch=mod1_start,
+                       ckpt_kw=_mod_ckpt_kw(mod1_ckpt))
 
     ft1 = int(cfg.get("paths", {}).get("mod1_finetune_last_epochs", 0))
-    if ft1 > 0:
+    if ft1 > 0 and not mod1_done:
         bimodal.finetune_mod1_last_layer(epochs=ft1, lr_scale=0.3)
+    if ckpt_every and not mod1_done:
+        save_train_checkpoint(bimodal.mod1_dbn, str(mod1_ckpt),
+                              phase="mod1",
+                              next_epoch=int(params["EPOCHS_MOD1"]),
+                              loss_history=bimodal.mod1_dbn.loss_history)
 
     # 2) MOD2 DBN (MNIST-100)
     mod2_pre = cfg.get("paths", {}).get("mod2_pretrained")
-    if mod2_pre and bimodal.load_pretrained_mod2_dbn(mod2_pre):
+    if mod2_done or (mod2_pre and bimodal.load_pretrained_mod2_dbn(mod2_pre)):
         pass
     else:
         if mod2_pre:
             print("[main] fallback: training MOD2 iDBN from scratch...")
         else:
             print("Training MOD2 iDBN (MNIST-100)...")
-        _train_mod_dbn(bimodal, train_loader, params, 1)
+        _train_mod_dbn(bimodal, train_loader, params, 1,
+                       start_epoch=mod2_start,
+                       ckpt_kw=_mod_ckpt_kw(mod2_ckpt))
 
     ft2 = int(cfg.get("paths", {}).get("mod2_finetune_last_epochs", 0))
-    if ft2 > 0:
+    if ft2 > 0 and not mod2_done:
         bimodal.finetune_mod2_last_layer(epochs=ft2, lr_scale=0.3)
+    if ckpt_every and not mod2_done:
+        save_train_checkpoint(bimodal.mod2_dbn, str(mod2_ckpt),
+                              phase="mod2",
+                              next_epoch=int(params["EPOCHS_MOD2"]),
+                              loss_history=bimodal.mod2_dbn.loss_history)
 
     # 3) Joint training
     print("Training joint RBM...")
+    joint_kw = ({"checkpoint_every": ckpt_every,
+                 "checkpoint_path": str(joint_ckpt),
+                 "start_epoch": joint_start}
+                if ckpt_every else {})
     bimodal.train_joint(
         epochs=params["EPOCHS_JOINT"],
         log_every=log_params["LOG_EVERY"],
         log_every_pca=log_params["LOG_EVERY_PCA"],
         log_every_probe=log_params["LOG_EVERY_PROBE"],
-        log_every_trajectory=log_params["LOG_EVERY_TRAJECTORY"])
+        log_every_trajectory=log_params["LOG_EVERY_TRAJECTORY"],
+        **joint_kw)
 
     # Save
     save_dir = Path(cfg.get("paths", {}).get("save_dir",
@@ -245,6 +322,14 @@ def main():
     save_path = save_dir / (f"{cfg.get('paths', {}).get('save_name', 'bimodal_trained')}.pkl")
     bimodal.save_model(str(save_path))
     print(f"Saved bimodal model to {save_path}")
+
+    if ckpt_every:
+        # the run completed and the model is saved; the crash-recovery
+        # checkpoints are no longer needed (and a later fresh run with
+        # the same config should actually train)
+        for p in (mod1_ckpt, mod2_ckpt, joint_ckpt):
+            if p is not None and p.exists():
+                p.unlink()
 
     if wandb_run:
         wandb_run.finish()

@@ -321,16 +321,16 @@ logging:
 """
 
 
-def _run_cli(cfg_path, prelude=""):
+def _run_cli(cfg_path, prelude="", script="train_multimodal.py"):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     code = (
         "import jax; jax.config.update('jax_platforms', 'cpu');\n"
         + prelude +
-        "import sys; sys.argv = ['train_multimodal.py', '--config', "
+        f"import sys; sys.argv = [{script!r}, '--config', "
         f"{str(cfg_path)!r}]\n"
         "import runpy; runpy.run_path("
-        f"{str(ROOT / 'scripts' / 'train_multimodal.py')!r}, "
+        f"{str(ROOT / 'scripts' / script)!r}, "
         "run_name='__main__')\n")
     return subprocess.run([sys.executable, "-c", code],
                           capture_output=True, text=True, env=env,
@@ -361,6 +361,104 @@ def _payload_arrays(obj, prefix=""):
     elif isinstance(obj, np.ndarray):
         out[prefix] = obj
     return out
+
+
+_BIMODAL_RESUME_CFG = """\
+dataset:
+  path: null
+  batch_size: 16
+  multimodal_flag: true
+  second_modality: "mnist100"
+  n_samples: 64
+  side: 8
+
+model:
+  mod1_layers: [64, 16]
+  mod2_layers: [1568, 24]
+  joint_hidden: [12]
+  num_labels: 4
+
+training:
+  learning_rate: 0.1
+  weight_penalty: 0.0001
+  init_momentum: 0.5
+  final_momentum: 0.9
+  learning_rate_dynamic: true
+  cd: 1
+  epochs_mod1: 2
+  epochs_mod2: 2
+  joint_learning_rate: 0.04
+  joint_cd: 1
+  epochs_joint: 4
+  cross_gibbs_steps: 3
+  JOINT_AUX_COND_STEPS: 2
+  seed: 0
+  checkpoint_every: 1
+
+paths:
+  save_dir: "{save_dir}"
+  save_name: "bimodal_resume"
+
+wandb:
+  enable: false
+
+logging:
+  log_every: 100
+  log_every_pca: 100
+  log_every_probe: 100
+  log_every_trajectory: 100
+"""
+
+_BIMODAL_CRASH_PRELUDE = """\
+import multimodal_idbn_tpu.checkpoint as _ck
+_real_save = _ck.save_train_checkpoint
+def _crashing(model, path, phase, next_epoch, loss_history=None):
+    _real_save(model, path, phase=phase, next_epoch=next_epoch,
+               loss_history=loss_history)
+    if phase == 'bimodal_joint' and int(next_epoch) >= 2:
+        raise SystemExit('INJECTED_CRASH')
+_ck.save_train_checkpoint = _crashing
+"""
+
+
+def test_bimodal_cli_crash_resume_e2e(tmp_path):
+    crash_dir = tmp_path / "crash"
+    clean_dir = tmp_path / "clean"
+    for d in (crash_dir, clean_dir):
+        d.mkdir()
+    crash_cfg = tmp_path / "crash.yaml"
+    crash_cfg.write_text(_BIMODAL_RESUME_CFG.format(save_dir=crash_dir))
+    clean_cfg = tmp_path / "clean.yaml"
+    clean_cfg.write_text(_BIMODAL_RESUME_CFG.format(save_dir=clean_dir))
+
+    proc = _run_cli(crash_cfg, prelude=_BIMODAL_CRASH_PRELUDE,
+                    script="train_bimodal.py")
+    assert proc.returncode != 0
+    assert "INJECTED_CRASH" in proc.stderr, proc.stderr[-3000:]
+    ckpts = crash_dir / "checkpoints"
+    assert (ckpts / "joint.ckpt.npz").exists()
+    # both modality phases were marked complete before the joint crash
+    assert (ckpts / "mod1.ckpt.npz").exists()
+    assert (ckpts / "mod2.ckpt.npz").exists()
+
+    proc = _run_cli(crash_cfg, script="train_bimodal.py")
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "resuming joint training at epoch 2/4" in proc.stdout
+    # the modality stacks must NOT retrain on resume
+    assert "Training MOD1 iDBN" not in proc.stdout
+    assert "Saved bimodal model" in proc.stdout
+    assert not any(ckpts.iterdir())
+
+    proc = _run_cli(clean_cfg, script="train_bimodal.py")
+    assert proc.returncode == 0, proc.stderr[-3000:]
+
+    with open(crash_dir / "bimodal_resume.pkl", "rb") as f:
+        resumed = _payload_arrays(pickle.load(f))
+    with open(clean_dir / "bimodal_resume.pkl", "rb") as f:
+        clean = _payload_arrays(pickle.load(f))
+    assert set(resumed) == set(clean) and resumed
+    for k in resumed:
+        np.testing.assert_array_equal(resumed[k], clean[k], err_msg=k)
 
 
 def test_cli_crash_resume_e2e(tmp_path):
