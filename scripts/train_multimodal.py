@@ -227,17 +227,18 @@ def main():
                 params["EPOCHS_IMG"],
                 log_every_pca=log_params["LOG_EVERY_PCA"],
                 log_every_probe=log_params["LOG_EVERY_PROBE"], **ckpt_kw)
-        if ckpt_every:
-            # phase-complete marker: a crash during joint training must
-            # not retrain the image stack
-            imdbn.image_idbn._save_train_checkpoint(
-                str(image_ckpt), int(params["EPOCHS_IMG"]))
-
-    # optional: fine-tune last image RBM
+    # optional: fine-tune last image RBM (skipped when the phase marker
+    # or a joint checkpoint says the image phase already completed — the
+    # restored states are post-finetune, so re-running would double it)
     ft_epochs = int(cfg.get("paths", {}).get(
         "image_idbn_finetune_last_epochs", 0))
-    if ft_epochs > 0:
+    if ft_epochs > 0 and not image_done:
         imdbn.finetune_image_last_layer(epochs=ft_epochs, lr_scale=0.3)
+    if ckpt_every and not image_done:
+        # phase-complete marker (AFTER the finetune hook): a crash during
+        # joint training must not retrain or re-finetune the image stack
+        imdbn.image_idbn._save_train_checkpoint(
+            str(image_ckpt), int(params["EPOCHS_IMG"]))
 
     # 2) joint training + full logging
     print("Training joint RBM...")

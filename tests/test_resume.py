@@ -310,6 +310,10 @@ training:
 paths:
   save_dir: "{save_dir}"
   save_name: "imdbn_resume"
+  # regression guard: on joint resume the restored image stack is
+  # post-finetune; re-running the hook would double-finetune and break
+  # byte-equality with the uninterrupted run
+  image_idbn_finetune_last_epochs: 1
 
 wandb:
   enable: false
