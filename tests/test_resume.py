@@ -214,6 +214,30 @@ def test_idbn_pcd_resume_restores_chains(tmp_path):
     assert_states_equal(a._pcd_chains, c._pcd_chains)
 
 
+def test_idbn_dp_resume_bit_identical(tmp_path):
+    """Resume composes with shell-level data parallelism: a blocked-DP
+    run over the 8-device mesh, checkpointed and resumed, matches the
+    uninterrupted blocked-DP run bit-for-bit (same fold_in key
+    derivation; block edges don't change per-epoch reduction order)."""
+    ck = str(tmp_path / "idbn_dp.ckpt")
+    extra = {"DP_DEVICES": 8}
+
+    a = _make_idbn(extra)
+    a.train(6)
+    assert a.mesh is not None and a.mesh.devices.size == 8
+
+    b = _make_idbn(extra)
+    b.train(6, checkpoint_every=2, checkpoint_path=ck)
+    assert_states_equal(a._states(), b._states())
+
+    c = _make_idbn(extra)
+    _, nxt = load_train_checkpoint(c, ck)
+    assert nxt == 4
+    c.train(6, start_epoch=4)
+    assert_states_equal(a._states(), c._states())
+    np.testing.assert_array_equal(a.loss_history, c.loss_history)
+
+
 # ---------------------------------------------------------------------------
 # iMDBN joint (blocked path)
 # ---------------------------------------------------------------------------
