@@ -152,6 +152,14 @@ def load_checkpoint(model, path: str) -> Dict[str, np.ndarray]:
     import jax
 
     rbms = _collect_rbms(model)
+    missing = [name for name in rbms if f"{name}/w" not in files]
+    if missing:
+        have = sorted({k.split("/w")[0] for k in files if k.endswith("/w")})
+        raise ValueError(
+            f"checkpoint {p!r} does not match this model: no saved state "
+            f"for {missing} (checkpoint contains {have}). Wrong "
+            f"checkpoint_dir, or a checkpoint from a different model "
+            f"family/architecture?")
     for name, rbm in rbms.items():
         vals = [jnp.asarray(files[f"{name}/{field}"])
                 for field in _STATE_FIELDS]
@@ -194,6 +202,10 @@ def save_train_checkpoint(model, path: str, phase: str, next_epoch: int,
     if chains is not None:
         for i, c in enumerate(chains):
             extra[f"pcd_chain{i}"] = np.asarray(c)
+    metrics = getattr(model, "joint_metrics_history", None)
+    if metrics is not None:
+        extra["joint_metrics_history"] = np.frombuffer(
+            json.dumps(metrics).encode(), dtype=np.uint8)
     save_checkpoint(model, path, extra=extra)
 
 
@@ -211,11 +223,78 @@ def load_train_checkpoint(model, path: str):
     next_epoch = int(extras["next_epoch"])
     if "loss_history" in extras and hasattr(model, "loss_history"):
         model.loss_history = [float(x) for x in extras["loss_history"]]
-    chain_keys = sorted(k for k in extras if k.startswith("pcd_chain"))
+    if "joint_metrics_history" in extras:
+        model.joint_metrics_history = json.loads(
+            bytes(extras["joint_metrics_history"]).decode())
+    # numeric sort: "pcd_chain10" must come after "pcd_chain2"
+    chain_keys = sorted(
+        (k for k in extras if k.startswith("pcd_chain")),
+        key=lambda k: int(k[len("pcd_chain"):]))
     if chain_keys and hasattr(model, "_pcd_chains"):
         model._pcd_chains = tuple(jnp.asarray(extras[k])
                                   for k in chain_keys)
     return phase, next_epoch
+
+
+def maybe_save_train_checkpoint(model, path, every: int, phase: str,
+                                next_epoch: int, total_epochs: int,
+                                loss_history=None,
+                                cadence_only: bool = False) -> bool:
+    """Periodic mid-training save used by every trainer's epoch loop.
+
+    No-op (returns False) unless checkpointing is configured (``path``
+    and ``every`` truthy) and the run isn't finished
+    (``next_epoch < total_epochs``). ``cadence_only=True`` additionally
+    requires ``next_epoch`` to land on a multiple of ``every`` — the
+    per-epoch loops use it; the blocked paths save at every block edge
+    (block edges already follow :func:`checkpoint_epochs`, plus free
+    extra edges like the warmup boundary)."""
+    if not (path and every and int(next_epoch) < int(total_epochs)):
+        return False
+    if cadence_only and int(next_epoch) % int(every) != 0:
+        return False
+    save_train_checkpoint(model, path, phase=phase,
+                          next_epoch=int(next_epoch),
+                          loss_history=loss_history)
+    return True
+
+
+def cli_checkpoint_paths(cfg: Dict, names):
+    """Resolve the crash-recovery checkpoint paths for a CLI run.
+
+    Shared by scripts/train_multimodal.py and scripts/train_bimodal.py:
+    ``paths.checkpoint_dir`` (default ``<paths.save_dir>/checkpoints``)
+    is created and a dict ``{name: Path(<dir>/<name>.ckpt.npz)}`` is
+    returned for the given phase ``names``."""
+    from pathlib import Path
+
+    paths_cfg = cfg.get("paths", {})
+    ckpt_dir = Path(paths_cfg.get(
+        "checkpoint_dir",
+        str(Path(paths_cfg.get("save_dir", "./networks"))
+            / "checkpoints"))).expanduser()
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    return {n: ckpt_dir / f"{n}.ckpt.npz" for n in names}
+
+
+def remove_checkpoints(paths) -> None:
+    """Delete crash-recovery checkpoints after a completed run (so a
+    later fresh run with the same config actually trains)."""
+    for p in paths:
+        if p is not None and p.exists():
+            p.unlink()
+
+
+def load_train_checkpoint_expecting(model, path, expected_phase: str):
+    """:func:`load_train_checkpoint` + a clear error when the file's
+    phase tag doesn't match what the caller is resuming."""
+    phase, next_epoch = load_train_checkpoint(model, str(path))
+    if phase != expected_phase:
+        raise ValueError(
+            f"checkpoint {str(path)!r} is a {phase!r}-phase checkpoint "
+            f"but this run expected {expected_phase!r} — wrong "
+            f"checkpoint_dir, or leftovers from a different config?")
+    return next_epoch
 
 
 def checkpoint_epochs(start_epoch: int, end_epoch: int,

@@ -289,7 +289,8 @@ class iDBN:
     def train(self, epochs: int, log_every_pca: int = 25,
               log_every_probe: int = 10, fused: Optional[bool] = None,
               start_epoch: int = 0, checkpoint_every: int = 0,
-              checkpoint_path: Optional[str] = None):
+              checkpoint_path: Optional[str] = None,
+              checkpoint_phase: str = "image"):
         """Train with iterative layer-wise updates (reference idbn.py:179-305).
 
         ``fused=None`` auto-selects the on-device epoch path when the
@@ -303,6 +304,9 @@ class iDBN:
         ``checkpoint.load_train_checkpoint``. Every epoch's RNG is
         ``fold_in(epoch_key, absolute_epoch)``, so the resumed run is
         bit-identical to an uninterrupted one (tests/test_resume.py).
+        ``checkpoint_phase`` tags the files so a resuming caller can
+        detect a wrong/stale checkpoint (e.g. the bimodal CLI's
+        "mod1"/"mod2" stacks).
         """
         if fused is None:
             fused = hasattr(self.dataloader, "materialize")
@@ -388,8 +392,12 @@ class iDBN:
                 counts = np.asarray(counts)
                 self.loss_history.extend(
                     (sums / np.maximum(1.0, counts)).tolist())
-                if checkpoint_path and checkpoint_every and b_end < epochs:
-                    self._save_train_checkpoint(checkpoint_path, b_end)
+                from multimodal_idbn_tpu.checkpoint import (
+                    maybe_save_train_checkpoint)
+                maybe_save_train_checkpoint(
+                    self, checkpoint_path, checkpoint_every,
+                    checkpoint_phase, b_end, epochs,
+                    loss_history=self.loss_history)
             self.epoch_timer = timer
             return
 
@@ -420,10 +428,12 @@ class iDBN:
                          epoch=epoch)
 
             self._log_epoch(epoch, mean_loss, log_every_pca, log_every_probe)
-            if (checkpoint_path and checkpoint_every
-                    and (epoch + 1) % checkpoint_every == 0
-                    and epoch + 1 < epochs):
-                self._save_train_checkpoint(checkpoint_path, epoch + 1)
+            from multimodal_idbn_tpu.checkpoint import (
+                maybe_save_train_checkpoint)
+            maybe_save_train_checkpoint(
+                self, checkpoint_path, checkpoint_every, checkpoint_phase,
+                epoch + 1, epochs, loss_history=self.loss_history,
+                cadence_only=True)
         self.epoch_timer = timer
 
     def reinit_layers(self, seed_offset: int = 0) -> None:
@@ -443,7 +453,8 @@ class iDBN:
                 dtype=dtype)
 
     def train_with_retry(self, epochs: int, max_retries: int = 2,
-                         recon_margin: float = 0.9, **train_kw) -> int:
+                         recon_margin: float = 0.9, start_epoch: int = 0,
+                         **train_kw) -> int:
         """Opt-in mitigation for CD initialization collapse (framework
         extension; benchmarks/RESULTS.md round 2: collapsed seeds train
         the image stack to blank-level reconstruction, MSE ≈ mean(x²),
@@ -455,6 +466,12 @@ class iDBN:
         re-initialize with a derived seed and retrain, at most
         ``max_retries`` times. Returns the number of retries used.
         Plain ``train()`` never retries (reference semantics unchanged).
+
+        ``start_epoch`` (crash-safe resume): the first attempt continues
+        from a restored checkpoint instead of training from scratch, and
+        the collapse check still runs at the end — so a crash+resume
+        cannot ship a collapsed model the uninterrupted run would have
+        retrained. Retries always restart from epoch 0 (reinit).
         """
         vb = None
         if self.val_batch is not None:
@@ -468,7 +485,7 @@ class iDBN:
             blank = float(jnp.mean(vb * vb))
             return mse >= recon_margin * blank
 
-        self.train(epochs, **train_kw)
+        self.train(epochs, start_epoch=start_epoch, **train_kw)
         retries = 0
         while retries < int(max_retries) and collapsed():
             retries += 1

@@ -600,13 +600,12 @@ class iMDBN:
 
             self._log_joint_epoch(epoch, cd_losses, tot, npix,
                                   log_every_pca, log_every_probe, log_every)
-            if (checkpoint_path and checkpoint_every
-                    and (epoch + 1) % checkpoint_every == 0
-                    and epoch + 1 < epochs):
-                from multimodal_idbn_tpu.checkpoint import (
-                    save_train_checkpoint)
-                save_train_checkpoint(self, checkpoint_path, phase="joint",
-                                      next_epoch=epoch + 1)
+            from multimodal_idbn_tpu.checkpoint import (
+                maybe_save_train_checkpoint)
+            maybe_save_train_checkpoint(self, checkpoint_path,
+                                        checkpoint_every, "joint",
+                                        epoch + 1, epochs,
+                                        cadence_only=True)
 
         self.epoch_timer = timer
         print("[iMDBN] joint training finished.")
@@ -687,9 +686,10 @@ class iMDBN:
             if checkpoint_path and checkpoint_every and end < epochs:
                 jr.state = joint  # checkpoint the live block result
                 from multimodal_idbn_tpu.checkpoint import (
-                    save_train_checkpoint)
-                save_train_checkpoint(self, checkpoint_path, phase="joint",
-                                      next_epoch=end)
+                    maybe_save_train_checkpoint)
+                maybe_save_train_checkpoint(self, checkpoint_path,
+                                            checkpoint_every, "joint",
+                                            end, epochs)
         jr.state = joint
 
         if final_totals is not None:

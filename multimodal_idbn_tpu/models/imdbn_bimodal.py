@@ -735,10 +735,11 @@ class iMDBN_BiModal:
                 if checkpoint_path and checkpoint_every and end < epochs:
                     self._set_joint_states(joint)
                     from multimodal_idbn_tpu.checkpoint import (
-                        save_train_checkpoint)
-                    save_train_checkpoint(self, checkpoint_path,
-                                          phase="bimodal_joint",
-                                          next_epoch=end)
+                        maybe_save_train_checkpoint)
+                    maybe_save_train_checkpoint(self, checkpoint_path,
+                                                checkpoint_every,
+                                                "bimodal_joint", end,
+                                                epochs)
             self._set_joint_states(joint)
             if final_totals is not None:
                 tot = {"n": float(final_totals.n),
@@ -813,14 +814,12 @@ class iMDBN_BiModal:
             self._log_joint_epoch(epoch, cd_losses, tot, log_every,
                                   log_every_pca, log_every_probe,
                                   log_every_trajectory)
-            if (checkpoint_path and checkpoint_every
-                    and (epoch + 1) % checkpoint_every == 0
-                    and epoch + 1 < epochs):
-                from multimodal_idbn_tpu.checkpoint import (
-                    save_train_checkpoint)
-                save_train_checkpoint(self, checkpoint_path,
-                                      phase="bimodal_joint",
-                                      next_epoch=epoch + 1)
+            from multimodal_idbn_tpu.checkpoint import (
+                maybe_save_train_checkpoint)
+            maybe_save_train_checkpoint(self, checkpoint_path,
+                                        checkpoint_every, "bimodal_joint",
+                                        epoch + 1, epochs,
+                                        cadence_only=True)
 
         print("[iMDBN_BiModal] joint training finished.")
 

@@ -141,17 +141,17 @@ def _train_mod_dbn(bimodal, train_loader, params, modality_idx: int,
     print(f"  Training MOD{modality_idx + 1} iDBN for {epochs} epochs...")
     init_retry = int(params.get("INIT_RETRY", 0) or 0)
     kw = dict(ckpt_kw or {})
-    if start_epoch > 0:
-        # resume: the restored weights already passed (or will pass) the
-        # retry criterion end-to-end; plain continuation
-        dbn.train(epochs, start_epoch=start_epoch, **kw)
-    elif init_retry > 0:
-        retries = dbn.train_with_retry(epochs, max_retries=init_retry, **kw)
+    if init_retry > 0:
+        # with start_epoch the first attempt continues from the restored
+        # checkpoint; the collapse check still runs at the end, so a
+        # crash+resume cannot ship a collapsed modality stack
+        retries = dbn.train_with_retry(epochs, max_retries=init_retry,
+                                       start_epoch=start_epoch, **kw)
         if retries:
             print(f"  [init_retry] MOD{modality_idx + 1} re-initialized "
                   f"{retries} time(s) after blank-level recon")
     else:
-        dbn.train(epochs, **kw)
+        dbn.train(epochs, start_epoch=start_epoch, **kw)
 
 
 def main():
@@ -217,45 +217,43 @@ def main():
     # (next_epoch == EPOCHS, written AFTER the finetune hook) keeps a
     # crash in a later phase from retraining earlier ones. Checkpoints
     # are removed after the final model save.
-    from multimodal_idbn_tpu.checkpoint import (load_train_checkpoint,
-                                                save_train_checkpoint)
+    from multimodal_idbn_tpu.checkpoint import (
+        cli_checkpoint_paths, load_train_checkpoint_expecting,
+        save_train_checkpoint)
     ckpt_every = int(params.get("CHECKPOINT_EVERY", 0) or 0)
     mod1_ckpt = mod2_ckpt = joint_ckpt = None
     mod1_start = mod2_start = joint_start = 0
     mod1_done = mod2_done = False
     if ckpt_every > 0:
-        ckpt_dir = Path(cfg.get("paths", {}).get(
-            "checkpoint_dir",
-            str(Path(cfg.get("paths", {}).get("save_dir", "./networks"))
-                / "checkpoints"))).expanduser()
-        ckpt_dir.mkdir(parents=True, exist_ok=True)
-        mod1_ckpt = ckpt_dir / "mod1.ckpt.npz"
-        mod2_ckpt = ckpt_dir / "mod2.ckpt.npz"
-        joint_ckpt = ckpt_dir / "joint.ckpt.npz"
+        ckpts = cli_checkpoint_paths(cfg, ("mod1", "mod2", "bimodal_joint"))
+        mod1_ckpt, mod2_ckpt = ckpts["mod1"], ckpts["mod2"]
+        joint_ckpt = ckpts["bimodal_joint"]
         if joint_ckpt.exists():
             # restores every RBM in the model (both modality stacks +
             # joint layers), so the mod phases are skipped entirely
-            _, joint_start = load_train_checkpoint(bimodal, str(joint_ckpt))
+            joint_start = load_train_checkpoint_expecting(
+                bimodal, joint_ckpt, "bimodal_joint")
             mod1_done = mod2_done = True
             print(f"[train_bimodal] resuming joint training at epoch "
                   f"{joint_start}/{params['EPOCHS_JOINT']}")
         else:
             if mod1_ckpt.exists():
-                _, mod1_start = load_train_checkpoint(bimodal.mod1_dbn,
-                                                      str(mod1_ckpt))
+                mod1_start = load_train_checkpoint_expecting(
+                    bimodal.mod1_dbn, mod1_ckpt, "mod1")
                 mod1_done = mod1_start >= int(params["EPOCHS_MOD1"])
                 print(f"[train_bimodal] resuming MOD1 training at epoch "
                       f"{mod1_start}/{params['EPOCHS_MOD1']}")
             if mod2_ckpt.exists():
-                _, mod2_start = load_train_checkpoint(bimodal.mod2_dbn,
-                                                      str(mod2_ckpt))
+                mod2_start = load_train_checkpoint_expecting(
+                    bimodal.mod2_dbn, mod2_ckpt, "mod2")
                 mod2_done = mod2_start >= int(params["EPOCHS_MOD2"])
                 print(f"[train_bimodal] resuming MOD2 training at epoch "
                       f"{mod2_start}/{params['EPOCHS_MOD2']}")
 
-    def _mod_ckpt_kw(path):
+    def _mod_ckpt_kw(path, phase):
         return ({"checkpoint_every": ckpt_every,
-                 "checkpoint_path": str(path)} if ckpt_every else None)
+                 "checkpoint_path": str(path),
+                 "checkpoint_phase": phase} if ckpt_every else None)
 
     # 1) MOD1 DBN (numerosity)
     mod1_pre = cfg.get("paths", {}).get("mod1_pretrained")
@@ -268,7 +266,7 @@ def main():
             print("Training MOD1 iDBN (Numerosity)...")
         _train_mod_dbn(bimodal, train_loader, params, 0,
                        start_epoch=mod1_start,
-                       ckpt_kw=_mod_ckpt_kw(mod1_ckpt))
+                       ckpt_kw=_mod_ckpt_kw(mod1_ckpt, "mod1"))
 
     ft1 = int(cfg.get("paths", {}).get("mod1_finetune_last_epochs", 0))
     if ft1 > 0 and not mod1_done:
@@ -290,7 +288,7 @@ def main():
             print("Training MOD2 iDBN (MNIST-100)...")
         _train_mod_dbn(bimodal, train_loader, params, 1,
                        start_epoch=mod2_start,
-                       ckpt_kw=_mod_ckpt_kw(mod2_ckpt))
+                       ckpt_kw=_mod_ckpt_kw(mod2_ckpt, "mod2"))
 
     ft2 = int(cfg.get("paths", {}).get("mod2_finetune_last_epochs", 0))
     if ft2 > 0 and not mod2_done:
@@ -324,12 +322,9 @@ def main():
     print(f"Saved bimodal model to {save_path}")
 
     if ckpt_every:
-        # the run completed and the model is saved; the crash-recovery
-        # checkpoints are no longer needed (and a later fresh run with
-        # the same config should actually train)
-        for p in (mod1_ckpt, mod2_ckpt, joint_ckpt):
-            if p is not None and p.exists():
-                p.unlink()
+        # the run completed and the model is saved
+        from multimodal_idbn_tpu.checkpoint import remove_checkpoints
+        remove_checkpoints((mod1_ckpt, mod2_ckpt, joint_ckpt))
 
     if wandb_run:
         wandb_run.finish()

@@ -172,27 +172,24 @@ def main():
     # N epochs under paths.checkpoint_dir; rerunning the same command
     # picks up bit-identically at the last checkpoint. Checkpoints are
     # removed after the final model save.
-    from multimodal_idbn_tpu.checkpoint import load_train_checkpoint
+    from multimodal_idbn_tpu.checkpoint import (
+        cli_checkpoint_paths, load_train_checkpoint_expecting)
     ckpt_every = int(params.get("CHECKPOINT_EVERY", 0) or 0)
     image_ckpt = joint_ckpt = None
     image_start = joint_start = 0
     image_done = False
     if ckpt_every > 0:
-        ckpt_dir = Path(cfg.get("paths", {}).get(
-            "checkpoint_dir",
-            str(Path(cfg.get("paths", {}).get("save_dir", "./networks"))
-                / "checkpoints"))).expanduser()
-        ckpt_dir.mkdir(parents=True, exist_ok=True)
-        image_ckpt = ckpt_dir / "image.ckpt.npz"
-        joint_ckpt = ckpt_dir / "joint.ckpt.npz"
+        ckpts = cli_checkpoint_paths(cfg, ("image", "joint"))
+        image_ckpt, joint_ckpt = ckpts["image"], ckpts["joint"]
         if joint_ckpt.exists():
-            _, joint_start = load_train_checkpoint(imdbn, str(joint_ckpt))
+            joint_start = load_train_checkpoint_expecting(
+                imdbn, joint_ckpt, "joint")
             image_done = True
             print(f"[train_multimodal] resuming joint training at epoch "
                   f"{joint_start}/{params['EPOCHS_JOINT']}")
         elif image_ckpt.exists():
-            _, image_start = load_train_checkpoint(imdbn.image_idbn,
-                                                   str(image_ckpt))
+            image_start = load_train_checkpoint_expecting(
+                imdbn.image_idbn, image_ckpt, "image")
             image_done = image_start >= int(params["EPOCHS_IMG"])
             print(f"[train_multimodal] resuming image training at epoch "
                   f"{image_start}/{params['EPOCHS_IMG']}")
@@ -207,16 +204,13 @@ def main():
                     "checkpoint_path": str(image_ckpt)}
                    if ckpt_every else {})
         init_retry = int(params.get("INIT_RETRY", 0) or 0)
-        if image_start > 0:
-            # resume: the restored weights already passed (or will pass)
-            # the retry criterion end-to-end; plain continuation
-            imdbn.image_idbn.train(
-                params["EPOCHS_IMG"], start_epoch=image_start,
-                log_every_pca=log_params["LOG_EVERY_PCA"],
-                log_every_probe=log_params["LOG_EVERY_PROBE"], **ckpt_kw)
-        elif init_retry > 0:
+        if init_retry > 0:
+            # with start_epoch the first attempt continues from the
+            # restored checkpoint; the collapse check still runs at the
+            # end, so a crash+resume cannot ship a collapsed model
             retries = imdbn.image_idbn.train_with_retry(
                 params["EPOCHS_IMG"], max_retries=init_retry,
+                start_epoch=image_start,
                 log_every_pca=log_params["LOG_EVERY_PCA"],
                 log_every_probe=log_params["LOG_EVERY_PROBE"], **ckpt_kw)
             if retries:
@@ -224,7 +218,7 @@ def main():
                       f"{retries} time(s) after blank-level recon")
         else:
             imdbn.image_idbn.train(
-                params["EPOCHS_IMG"],
+                params["EPOCHS_IMG"], start_epoch=image_start,
                 log_every_pca=log_params["LOG_EVERY_PCA"],
                 log_every_probe=log_params["LOG_EVERY_PROBE"], **ckpt_kw)
     # optional: fine-tune last image RBM (skipped when the phase marker
@@ -261,12 +255,9 @@ def main():
     print(f"Saved multimodal model to {save_path}")
 
     if ckpt_every:
-        # the run completed and the model is saved; the crash-recovery
-        # checkpoints are no longer needed (and a later fresh run with
-        # the same config should actually train)
-        for p in (image_ckpt, joint_ckpt):
-            if p is not None and p.exists():
-                p.unlink()
+        # the run completed and the model is saved
+        from multimodal_idbn_tpu.checkpoint import remove_checkpoints
+        remove_checkpoints((image_ckpt, joint_ckpt))
 
     if wandb_run:
         wandb_run.finish()

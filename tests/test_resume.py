@@ -147,6 +147,90 @@ def test_train_arg_validation(tmp_path):
         m.train(2, checkpoint_every=1)
 
 
+def test_wrong_model_checkpoint_is_a_clear_error(tmp_path):
+    """Loading a checkpoint from a different model family must raise a
+    readable mismatch error, not a KeyError mid-restore."""
+    m = _make_idbn()
+    p = str(tmp_path / "idbn_ck")
+    save_train_checkpoint(m, p, phase="image", next_epoch=1)
+    other = _make_imdbn()
+    with pytest.raises(ValueError, match="does not match this model"):
+        load_train_checkpoint(other, p)
+
+
+def test_phase_mismatch_is_a_clear_error(tmp_path):
+    from multimodal_idbn_tpu.checkpoint import (
+        load_train_checkpoint_expecting)
+
+    m = _make_idbn()
+    p = tmp_path / "mod1_ck.npz"
+    save_train_checkpoint(m, str(p), phase="mod1", next_epoch=1)
+    m2 = _make_idbn()
+    assert load_train_checkpoint_expecting(m2, p, "mod1") == 1
+    with pytest.raises(ValueError, match="'mod1'-phase checkpoint"):
+        load_train_checkpoint_expecting(m2, p, "image")
+
+
+def test_pcd_chains_restore_in_numeric_order(tmp_path):
+    """10+ chains must restore by index, not lexicographically
+    ("pcd_chain10" < "pcd_chain2" as strings)."""
+    train, val, _ = _fresh_loaders()
+    m = iDBN([SIDE * SIDE] + [8] * 11, dict(PARAMS, PCD=True), train, val,
+             seed=0)
+    rng = np.random.RandomState(0)
+    m._pcd_chains = tuple(jax.numpy.asarray(rng.rand(4, 8).astype(np.float32))
+                          for _ in range(11))
+    p = str(tmp_path / "pcd_ck")
+    save_train_checkpoint(m, p, phase="image", next_epoch=1)
+    m2 = iDBN([SIDE * SIDE] + [8] * 11, dict(PARAMS, PCD=True), train, val,
+              seed=1)
+    load_train_checkpoint(m2, p)
+    assert len(m2._pcd_chains) == 11
+    for a, b in zip(m._pcd_chains, m2._pcd_chains):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_joint_metrics_history_survives_resume(tmp_path):
+    m = _make_imdbn()
+    m.joint_metrics_history = [{"epoch": 0, "cross/top1": 0.25}]
+    p = str(tmp_path / "jm_ck")
+    save_train_checkpoint(m, p, phase="joint", next_epoch=1)
+    m2 = _make_imdbn()
+    load_train_checkpoint(m2, p)
+    assert m2.joint_metrics_history == [{"epoch": 0, "cross/top1": 0.25}]
+
+
+def test_train_with_retry_checks_collapse_on_resume(monkeypatch):
+    """A resumed train_with_retry (start_epoch > 0) must still run the
+    collapse check and retry — a crash+resume can't ship a collapsed
+    model the uninterrupted run would have retrained."""
+    import jax.numpy as jnp
+
+    m = _make_idbn()
+    calls = {"n": 0}
+    real_reconstruct = m.reconstruct
+
+    def fake_reconstruct(x):
+        calls["n"] += 1
+        if calls["n"] == 1:  # pretend the resumed run ends collapsed
+            return jnp.zeros_like(jnp.asarray(x))
+        return real_reconstruct(x)
+
+    monkeypatch.setattr(m, "reconstruct", fake_reconstruct)
+    starts = []
+    real_train = m.train
+
+    def recording_train(epochs, *a, start_epoch=0, **k):
+        starts.append(start_epoch)
+        return real_train(epochs, *a, start_epoch=start_epoch, **k)
+
+    monkeypatch.setattr(m, "train", recording_train)
+    retries = m.train_with_retry(epochs=3, max_retries=2, start_epoch=2)
+    assert retries == 1
+    # first attempt continues at 2; the retry restarts from scratch
+    assert starts == [2, 0]
+
+
 # ---------------------------------------------------------------------------
 # iDBN: blocked (fused) path
 # ---------------------------------------------------------------------------
@@ -464,7 +548,9 @@ def test_bimodal_cli_crash_resume_e2e(tmp_path):
     assert proc.returncode != 0
     assert "INJECTED_CRASH" in proc.stderr, proc.stderr[-3000:]
     ckpts = crash_dir / "checkpoints"
-    assert (ckpts / "joint.ckpt.npz").exists()
+    # named by phase, so it can't collide with train_multimodal.py's
+    # joint.ckpt.npz in a shared checkpoint_dir
+    assert (ckpts / "bimodal_joint.ckpt.npz").exists()
     # both modality phases were marked complete before the joint crash
     assert (ckpts / "mod1.ckpt.npz").exists()
     assert (ckpts / "mod2.ckpt.npz").exists()
