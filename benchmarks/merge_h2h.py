@@ -32,6 +32,13 @@ def main():
             merged["schedule"] = d.get("schedule")
         merged["seeds"] += list(d.get("seeds", []))
         for role in ("ref", "ours"):
+            # dict.update would silently overwrite an overlapping seed
+            # while the seeds list double-counts it — refuse instead
+            dup = set(merged[role]) & set(d.get(role, {}))
+            if dup:
+                sys.exit(f"error: {path} repeats {role} seed(s) "
+                         f"{sorted(dup)} already merged from an earlier "
+                         f"file — merge inputs must have disjoint seeds")
             merged[role].update(d.get(role, {}))
 
     metrics = sorted({k for role in ("ref", "ours")

@@ -85,6 +85,16 @@ def save_checkpoint(model, path: str, extra: Dict | None = None) -> None:
         arrays["z_class_mean"] = np.asarray(model.z_class_mean)
     for k, v in (extra or {}).items():
         arrays[f"extra/{k}"] = np.asarray(v)
+    # npz cannot round-trip ml_dtypes extension dtypes (bfloat16 comes
+    # back as raw void "|V2"): store them as uint16 bit-views and record
+    # the true dtype in the JSON meta for load_checkpoint to restore.
+    dtypes = {}
+    for k, arr in arrays.items():
+        if arr.dtype.kind == "V" or arr.dtype.name == "bfloat16":
+            dtypes[k] = "bfloat16"
+            arrays[k] = arr.view(np.uint16)
+    if dtypes:
+        meta["dtypes"] = dtypes
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8)
     # Atomic: a crash mid-write must never clobber the previous
@@ -148,6 +158,12 @@ def load_checkpoint(model, path: str) -> Dict[str, np.ndarray]:
         p = p + ".npz"
     with np.load(p, allow_pickle=False) as f:
         files = dict(f)
+    if "__meta__" in files:
+        meta = json.loads(bytes(files["__meta__"]).decode())
+        if meta.get("dtypes"):
+            import ml_dtypes
+            for k, dt in meta["dtypes"].items():
+                files[k] = files[k].view(getattr(ml_dtypes, dt))
 
     import jax
 
@@ -196,6 +212,15 @@ def save_train_checkpoint(model, path: str, phase: str, next_epoch: int,
         "phase": np.frombuffer(str(phase).encode(), dtype=np.uint8),
         "next_epoch": np.asarray(int(next_epoch), np.int64),
     }
+    # The non-fused epoch loops draw batch order from the DataLoader's
+    # internal shuffle counter, which does NOT equal epochs-trained in
+    # general (e.g. init_joint_bias_from_data consumes one shuffle), so
+    # save the live counters rather than letting resume guess.
+    for attr in ("dataloader", "val_loader"):
+        ld = getattr(model, attr, None)
+        if ld is not None and hasattr(ld, "_epoch"):
+            extra[f"loader_epoch/{attr}"] = np.asarray(
+                int(ld._epoch), np.int64)
     if loss_history is not None:
         extra["loss_history"] = np.asarray(loss_history, np.float64)
     chains = getattr(model, "_pcd_chains", None)
@@ -233,7 +258,33 @@ def load_train_checkpoint(model, path: str):
     if chain_keys and hasattr(model, "_pcd_chains"):
         model._pcd_chains = tuple(jnp.asarray(extras[k])
                                   for k in chain_keys)
+    for attr in ("dataloader", "val_loader"):
+        k = f"loader_epoch/{attr}"
+        ld = getattr(model, attr, None)
+        if k in extras and ld is not None and hasattr(ld, "_epoch"):
+            ld._epoch = int(extras[k])
+            # one-shot marker consumed by align_loader_for_resume so
+            # train() keeps the restored counter instead of guessing
+            model._loader_epochs_restored = True
     return phase, next_epoch
+
+
+def align_loader_for_resume(model, start_epoch: int) -> None:
+    """Align the DataLoader shuffle counter for a resumed non-fused run.
+
+    When the checkpoint carried the loader's true counter,
+    :func:`load_train_checkpoint` already restored it — and the
+    epochs-trained guess below would be wrong whenever iterations and
+    epochs diverge (init_joint_bias_from_data consumes one shuffle, a
+    train_with_retry attempt inherits earlier attempts' iterations) — so
+    the restored value wins. Without one (manual ``start_epoch``,
+    pre-r3 checkpoints) fall back to one-iteration-per-epoch-trained.
+    """
+    if model.__dict__.pop("_loader_epochs_restored", False):
+        return
+    ld = getattr(model, "dataloader", None)
+    if start_epoch and ld is not None and hasattr(ld, "_epoch"):
+        ld._epoch = int(start_epoch)
 
 
 def maybe_save_train_checkpoint(model, path, every: int, phase: str,

@@ -17,6 +17,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from multimodal_idbn_tpu.checkpoint import (align_loader_for_resume,
+                                            checkpoint_epochs,
+                                            maybe_save_train_checkpoint,
+                                            save_train_checkpoint)
 from multimodal_idbn_tpu.models.rbm import (RBM, as_array,
                                             param_compute_dtype,
                                             param_dtype)
@@ -281,7 +285,6 @@ class iDBN:
 
     def _save_train_checkpoint(self, path, next_epoch: int,
                                phase: str = "image") -> None:
-        from multimodal_idbn_tpu.checkpoint import save_train_checkpoint
         save_train_checkpoint(self, path, phase=phase,
                               next_epoch=next_epoch,
                               loss_history=self.loss_history)
@@ -340,7 +343,6 @@ class iDBN:
             # once per block instead of once per epoch. Checkpointing
             # splits the run at multiples of checkpoint_every; equal-size
             # blocks reuse one compiled executable.
-            from multimodal_idbn_tpu.checkpoint import checkpoint_epochs
             bs = getattr(self.dataloader, "batch_size", 128)
             for b_start, b_end in checkpoint_epochs(
                     start_epoch, epochs,
@@ -392,8 +394,6 @@ class iDBN:
                 counts = np.asarray(counts)
                 self.loss_history.extend(
                     (sums / np.maximum(1.0, counts)).tolist())
-                from multimodal_idbn_tpu.checkpoint import (
-                    maybe_save_train_checkpoint)
                 maybe_save_train_checkpoint(
                     self, checkpoint_path, checkpoint_every,
                     checkpoint_phase, b_end, epochs,
@@ -401,12 +401,11 @@ class iDBN:
             self.epoch_timer = timer
             return
 
-        if (start_epoch and not fused
-                and hasattr(self.dataloader, "_epoch")):
+        if not fused:
             # Our DataLoader derives each epoch's shuffle from an internal
-            # counter; align it so the resumed run sees the same batch
-            # order the uninterrupted run would have.
-            self.dataloader._epoch = start_epoch
+            # counter; restore/align it so the resumed run sees the same
+            # batch order the uninterrupted run would have.
+            align_loader_for_resume(self, start_epoch)
         for epoch in range(start_epoch, epochs):
             with timer.step():
                 if fused:
@@ -428,8 +427,6 @@ class iDBN:
                          epoch=epoch)
 
             self._log_epoch(epoch, mean_loss, log_every_pca, log_every_probe)
-            from multimodal_idbn_tpu.checkpoint import (
-                maybe_save_train_checkpoint)
             maybe_save_train_checkpoint(
                 self, checkpoint_path, checkpoint_every, checkpoint_phase,
                 epoch + 1, epochs, loss_history=self.loss_history,

@@ -19,6 +19,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from multimodal_idbn_tpu.checkpoint import (align_loader_for_resume,
+                                            checkpoint_epochs,
+                                            maybe_save_train_checkpoint)
 from multimodal_idbn_tpu.models.idbn import iDBN
 from multimodal_idbn_tpu.models.rbm import RBM, as_array, param_dtype
 from multimodal_idbn_tpu.ops import imdbn_ops
@@ -519,12 +522,11 @@ class iMDBN:
             print("[iMDBN] joint training finished.")
             return
 
-        if (start_epoch and not fused
-                and hasattr(self.dataloader, "_epoch")):
+        if not fused:
             # Non-fused epochs draw batch order from the DataLoader's
-            # internal epoch counter; align it so the resumed run sees
-            # the same shuffles the uninterrupted run would have.
-            self.dataloader._epoch = start_epoch
+            # internal epoch counter; restore/align it so the resumed run
+            # sees the same shuffles the uninterrupted run would have.
+            align_loader_for_resume(self, start_epoch)
         for epoch in range(start_epoch, epochs):
             warmup = epoch < WARMUP_Y_EPOCHS
             jr = self.joint_rbm
@@ -600,8 +602,6 @@ class iMDBN:
 
             self._log_joint_epoch(epoch, cd_losses, tot, npix,
                                   log_every_pca, log_every_probe, log_every)
-            from multimodal_idbn_tpu.checkpoint import (
-                maybe_save_train_checkpoint)
             maybe_save_train_checkpoint(self, checkpoint_path,
                                         checkpoint_every, "joint",
                                         epoch + 1, epochs,
@@ -619,7 +619,6 @@ class iMDBN:
         RNG identical to the per-epoch path. Blocks split at the warmup
         boundary (the warmup/main schedules compile differently) and, when
         checkpointing, at multiples of ``checkpoint_every``."""
-        from multimodal_idbn_tpu.checkpoint import checkpoint_epochs
         from multimodal_idbn_tpu.ops.schedules import (
             effective_lr, effective_momentum)
 
@@ -683,13 +682,10 @@ class iMDBN:
                     })
             final_totals = imdbn_ops.CrossMetrics(
                 *(np.asarray(t)[-1] for t in totals))
-            if checkpoint_path and checkpoint_every and end < epochs:
-                jr.state = joint  # checkpoint the live block result
-                from multimodal_idbn_tpu.checkpoint import (
-                    maybe_save_train_checkpoint)
-                maybe_save_train_checkpoint(self, checkpoint_path,
-                                            checkpoint_every, "joint",
-                                            end, epochs)
+            jr.state = joint  # keep the shell synced for checkpointing
+            maybe_save_train_checkpoint(self, checkpoint_path,
+                                        checkpoint_every, "joint",
+                                        end, epochs)
         jr.state = joint
 
         if final_totals is not None:

@@ -17,6 +17,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from multimodal_idbn_tpu.checkpoint import (align_loader_for_resume,
+                                            checkpoint_epochs,
+                                            maybe_save_train_checkpoint)
 from multimodal_idbn_tpu.models.idbn import iDBN
 from multimodal_idbn_tpu.models.rbm import RBM, as_array
 from multimodal_idbn_tpu.ops import bimodal_ops
@@ -695,7 +698,6 @@ class iMDBN_BiModal:
         if fused and self.wandb_run is None:
             # Epoch-blocked path (no per-epoch logging without a run
             # object): warmup and main epochs as two dispatches.
-            from multimodal_idbn_tpu.checkpoint import checkpoint_epochs
             jr = self.joint_layers[0]
             w_end = min(WARMUP_EPOCHS, epochs)
             blocks = [(s, e, s < w_end) for s, e in checkpoint_epochs(
@@ -732,14 +734,11 @@ class iMDBN_BiModal:
                             jr.weight_decay, **statics))
                 final_totals = bimodal_ops.BimodalMetrics(
                     *(np.asarray(t)[-1] for t in totals))
-                if checkpoint_path and checkpoint_every and end < epochs:
-                    self._set_joint_states(joint)
-                    from multimodal_idbn_tpu.checkpoint import (
-                        maybe_save_train_checkpoint)
-                    maybe_save_train_checkpoint(self, checkpoint_path,
-                                                checkpoint_every,
-                                                "bimodal_joint", end,
-                                                epochs)
+                self._set_joint_states(joint)  # sync for checkpointing
+                maybe_save_train_checkpoint(self, checkpoint_path,
+                                            checkpoint_every,
+                                            "bimodal_joint", end,
+                                            epochs)
             self._set_joint_states(joint)
             if final_totals is not None:
                 tot = {"n": float(final_totals.n),
@@ -750,12 +749,11 @@ class iMDBN_BiModal:
             print("[iMDBN_BiModal] joint training finished.")
             return
 
-        if (start_epoch and not fused
-                and hasattr(self.dataloader, "_epoch")):
+        if not fused:
             # Non-fused epochs draw batch order from the DataLoader's
-            # internal epoch counter; align it so the resumed run sees
-            # the same shuffles the uninterrupted run would have.
-            self.dataloader._epoch = start_epoch
+            # internal epoch counter; restore/align it so the resumed run
+            # sees the same shuffles the uninterrupted run would have.
+            align_loader_for_resume(self, start_epoch)
         for epoch in range(start_epoch, epochs):
             warmup = epoch < WARMUP_EPOCHS
             jr = self.joint_layers[0]
@@ -814,8 +812,6 @@ class iMDBN_BiModal:
             self._log_joint_epoch(epoch, cd_losses, tot, log_every,
                                   log_every_pca, log_every_probe,
                                   log_every_trajectory)
-            from multimodal_idbn_tpu.checkpoint import (
-                maybe_save_train_checkpoint)
             maybe_save_train_checkpoint(self, checkpoint_path,
                                         checkpoint_every, "bimodal_joint",
                                         epoch + 1, epochs,

@@ -43,7 +43,10 @@ PARAMS = {
     "CROSS_GIBBS_STEPS": 3,
     "JOINT_AUX_COND_STEPS": 2,
 }
-SIDE = 8
+# side=12 is the smallest canvas where dot placement spreads labels over
+# all K=4 classes (side=8 fits exactly one radius-2 dot, collapsing every
+# label to class 0 and hiding shuffle-order resume bugs).
+SIDE = 12
 K = 4
 
 
@@ -353,6 +356,91 @@ def test_imdbn_joint_resume_bit_identical(tmp_path):
     assert_states_equal(a.joint_rbm.state, c.joint_rbm.state)
 
 
+class _PerBatchLoader:
+    """Reference-style shuffling loader WITHOUT ``materialize()``: iMDBN
+    falls back to batch iteration, so init_joint_bias_from_data consumes
+    one shuffle and the counter runs ahead of epochs-trained."""
+
+    def __init__(self, inner):
+        self.inner = inner
+
+    def __iter__(self):
+        return iter(self.inner)
+
+    def __len__(self):
+        return len(self.inner)
+
+    @property
+    def batch_size(self):
+        return self.inner.batch_size
+
+    @property
+    def dataset(self):
+        return self.inner.dataset
+
+    @property
+    def _epoch(self):
+        return self.inner._epoch
+
+    @_epoch.setter
+    def _epoch(self, v):
+        self.inner._epoch = v
+
+
+def _make_imdbn_per_batch():
+    m = _make_imdbn()
+    m.dataloader = _PerBatchLoader(m.dataloader)
+    return m
+
+
+def test_imdbn_joint_nonfused_resume_bit_identical(tmp_path):
+    """Non-fused epochs draw batch order from the DataLoader's shuffle
+    counter, which runs AHEAD of epochs-trained when the loader can't
+    materialize (init_joint_bias_from_data consumes one shuffle) — resume
+    must restore the saved counter rather than guess it from start_epoch
+    (r3 review finding)."""
+    ck = str(tmp_path / "joint_nf.ckpt")
+
+    a = _make_imdbn_per_batch()
+    a.train_joint(epochs=6, fused=False)
+
+    b = _make_imdbn_per_batch()
+    b.train_joint(epochs=6, fused=False, checkpoint_every=2,
+                  checkpoint_path=ck)
+    assert_states_equal(a.joint_rbm.state, b.joint_rbm.state)
+
+    c = _make_imdbn_per_batch()
+    phase, nxt = load_train_checkpoint(c, ck)
+    assert (phase, nxt) == ("joint", 4)
+    # the restored counter is AHEAD of epochs-trained — exactly the case
+    # where the old `_epoch = start_epoch` guess trained on the previous
+    # epoch's permutations
+    assert c.dataloader._epoch == nxt + 1
+    c.train_joint(epochs=6, start_epoch=4, fused=False)
+    assert_states_equal(a.joint_rbm.state, c.joint_rbm.state)
+
+
+def test_bf16_pcd_checkpoint_roundtrip(tmp_path):
+    """bfloat16 states and PCD chains round-trip through npz: stored as
+    uint16 bit-views + a dtype map in the JSON meta (raw npz would return
+    them as void '|V2', which jnp.asarray rejects)."""
+    import jax.numpy as jnp
+
+    extra = {"DTYPE": "bfloat16", "PCD": True}
+    m = _make_idbn(extra)
+    m.train(2)
+    p = str(tmp_path / "bf16_ck")
+    save_train_checkpoint(m, p, phase="image", next_epoch=2)
+    m2 = _make_idbn(extra)
+    phase, nxt = load_train_checkpoint(m2, p)
+    assert (phase, nxt) == ("image", 2)
+    for rbm in m2.layers:
+        assert rbm.state.w.dtype == jnp.bfloat16
+    assert all(c.dtype == jnp.bfloat16 for c in m2._pcd_chains)
+    assert_states_equal(m._states(), m2._states())
+    assert_states_equal(m._pcd_chains, m2._pcd_chains)
+
+
 # ---------------------------------------------------------------------------
 # iMDBN_BiModal joint (blocked path)
 # ---------------------------------------------------------------------------
@@ -392,10 +480,10 @@ dataset:
   batch_size: 16
   multimodal_flag: true
   n_samples: 64
-  side: 8
+  side: 12
 
 model:
-  image_layers: [64, 16]
+  image_layers: [144, 16]
   joint_hidden: 12
   num_labels: 4
 
@@ -482,10 +570,10 @@ dataset:
   multimodal_flag: true
   second_modality: "mnist100"
   n_samples: 64
-  side: 8
+  side: 12
 
 model:
-  mod1_layers: [64, 16]
+  mod1_layers: [144, 16]
   mod2_layers: [1568, 24]
   joint_hidden: [12]
   num_labels: 4
