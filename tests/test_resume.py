@@ -420,6 +420,32 @@ def test_imdbn_joint_nonfused_resume_bit_identical(tmp_path):
     assert_states_equal(a.joint_rbm.state, c.joint_rbm.state)
 
 
+def test_pre_r3_checkpoint_falls_back_to_epoch_guess(tmp_path):
+    """Checkpoints written before loader counters were saved must still
+    resume: align_loader_for_resume falls back to the one-iteration-per-
+    epoch guess when no counter was restored."""
+    import numpy as np
+
+    from multimodal_idbn_tpu.checkpoint import align_loader_for_resume
+
+    m = _make_idbn()
+    p = str(tmp_path / "old_ck")
+    save_train_checkpoint(m, p, phase="image", next_epoch=2)
+    # simulate a pre-r3 file: strip the loader_epoch/* extras
+    f = p + ".npz"
+    data = dict(np.load(f, allow_pickle=False))
+    stripped = {k: v for k, v in data.items()
+                if not k.startswith("extra/loader_epoch/")}
+    np.savez(f, **stripped)
+
+    m2 = _make_idbn()
+    phase, nxt = load_train_checkpoint(m2, p)
+    assert (phase, nxt) == ("image", 2)
+    assert "_loader_epochs_restored" not in m2.__dict__
+    align_loader_for_resume(m2, nxt)
+    assert m2.dataloader._epoch == 2  # legacy guess applied
+
+
 def test_bf16_pcd_checkpoint_roundtrip(tmp_path):
     """bfloat16 states and PCD chains round-trip through npz: stored as
     uint16 bit-views + a dtype map in the JSON meta (raw npz would return
