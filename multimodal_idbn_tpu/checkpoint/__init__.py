@@ -9,10 +9,12 @@ The reference only pickles live torch objects at phase boundaries
 - :func:`save_train_checkpoint` / :func:`load_train_checkpoint` —
   mid-training checkpoints (framework extension; the reference only
   saves at phase boundaries, SURVEY.md §5.4). Because every epoch's RNG
-  derives from ``fold_in(epoch_key, epoch)``, a run resumed from epoch k
-  is bit-identical to the uninterrupted run (tests/test_resume.py).
-  Writes are atomic (tmp + rename), so a crash mid-save never corrupts
-  the latest checkpoint.
+  derives from ``fold_in(epoch_key, epoch)`` — and the DataLoader
+  shuffle counters travel with the checkpoint for the per-batch paths —
+  a run resumed from epoch k is bit-identical to the uninterrupted run
+  (tests/test_resume.py). bfloat16 states round-trip (uint16 bit-views
+  + a dtype map in the meta). Writes are atomic (tmp + rename), so a
+  crash mid-save never corrupts the latest checkpoint.
 - :func:`export_reference_pickle` / :func:`import_reference_pickle` —
   the reference's dual-format pickle payload with torch-free numpy shims
   (export) and tolerant unpickling of reference/Groundeep payloads
