@@ -1,8 +1,18 @@
 """Merge two reference_head_to_head result JSONs (e.g. a seeds-0-2 run
-and a seeds-3-4 extension) into one combined summary table.
+and a seeds-3-4 extension) into one combined summary table, with
+ref-vs-ours significance tests per metric (VERDICT r3 weak #2: parity
+claims must be statistical, not eyeballed ranges).
 
 Usage: python benchmarks/merge_h2h.py A.json B.json [--out merged.json]
 Prints the combined JSON on stdout; a markdown table on stderr.
+
+Per metric with samples on both sides, the summary carries:
+- Mann-Whitney U two-sided p-value (scipy.stats.mannwhitneyu, exact
+  method at these sample sizes) — p > 0.05 means the seed distributions
+  are statistically indistinguishable at that n;
+- a 95% bootstrap CI of median(ours) - median(ref) (10k resamples,
+  fixed seed 0) — a CI containing 0 supports parity, and its width is
+  the honest resolution of the comparison.
 """
 
 from __future__ import annotations
@@ -17,6 +27,29 @@ import numpy as np
 def summarize(vals):
     v = np.asarray(vals, np.float64)
     return f"{np.median(v):.3f} [{v.min():.3f}-{v.max():.3f}]"
+
+
+def compare(ref_vals, ours_vals, n_boot=10_000, seed=0):
+    """Mann-Whitney U p-value + bootstrap 95% CI of the median
+    difference (ours - ref). Deterministic (fixed bootstrap seed)."""
+    from scipy.stats import mannwhitneyu
+
+    a = np.asarray(ref_vals, np.float64)
+    b = np.asarray(ours_vals, np.float64)
+    try:
+        p = float(mannwhitneyu(a, b, alternative="two-sided").pvalue)
+    except ValueError:  # all values identical on both sides
+        p = 1.0
+    rng = np.random.default_rng(seed)
+    diffs = (np.median(b[rng.integers(0, len(b), (n_boot, len(b)))],
+                       axis=1)
+             - np.median(a[rng.integers(0, len(a), (n_boot, len(a)))],
+                         axis=1))
+    lo, hi = np.percentile(diffs, [2.5, 97.5])
+    return {"mwu_p": round(p, 4),
+            "median_diff": round(float(np.median(b) - np.median(a)), 4),
+            "diff_ci95": [round(float(lo), 4), round(float(hi), 4)],
+            "n_ref": len(a), "n_ours": len(b)}
 
 
 def main():
@@ -51,18 +84,30 @@ def main():
                          "probe_joint_labels", "probe_joint_area")
              if m in metrics]
     table = {}
-    print("\n| metric | reference (torch) | rebuild (jax) |",
-          file=sys.stderr)
-    print("|---|---|---|", file=sys.stderr)
+    stats = {}
+    print("\n| metric | reference (torch) | rebuild (jax) | "
+          "MWU p | Δmedian [95% CI] |", file=sys.stderr)
+    print("|---|---|---|---|---|", file=sys.stderr)
     for m in order:
         row = []
+        sides = {}
         for role in ("ref", "ours"):
             vals = [r[m] for r in merged[role].values() if r and m in r]
+            sides[role] = vals
             cell = summarize(vals) if vals else "-"
             table[f"{role}_{m}"] = cell
             row.append(cell)
-        print(f"| {m} | {row[0]} | {row[1]} |", file=sys.stderr)
+        if sides["ref"] and sides["ours"]:
+            st = compare(sides["ref"], sides["ours"])
+            stats[m] = st
+            extra = (f" {st['mwu_p']:.3f} | {st['median_diff']:+.3f} "
+                     f"[{st['diff_ci95'][0]:+.3f}, "
+                     f"{st['diff_ci95'][1]:+.3f}] |")
+        else:
+            extra = " - | - |"
+        print(f"| {m} | {row[0]} | {row[1]} |{extra}", file=sys.stderr)
     merged["summary"] = table
+    merged["stats"] = stats
     out = json.dumps(merged)
     if args.out:
         open(args.out, "w").write(out)

@@ -44,6 +44,24 @@ def pallas_cd_enabled() -> bool:
     return _FLAGS["pallas_cd"]
 
 
+def set_matmul_precision(precision: str = "highest") -> None:
+    """Pin the XLA default matmul precision for f32 operands.
+
+    TPUs execute f32 matmuls at bfloat16 input precision by default
+    ("default"); the torch reference computes true f32 everywhere
+    (reference rbm.py:181-227 — plain f32 ``@``). CD training of these
+    models is measurably precision-sensitive (benchmarks/RESULTS.md:
+    bf16 chain GEMMs collapse flagship top1 to ~0.3), so training entry
+    points pin "highest" (6-pass f32 emulation on the MXU) to match the
+    reference's numerics. Must run before the first compile.
+
+    precision: "default" | "high" | "highest".
+    """
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", precision)
+
+
 def enable_persistent_compilation_cache(path: str | None = None) -> str:
     """Point JAX's persistent compilation cache at ``path`` (default:
     ``$JAX_COMPILATION_CACHE_DIR`` or ``/tmp/jax_cache``) so fused-epoch
