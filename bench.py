@@ -173,6 +173,40 @@ def bench_jax():
     except Exception as exc:  # pragma: no cover - optional path
         log(f"[bench] bf16 variant unavailable: {exc}")
 
+    # True-f32 GEMMs ("highest" matmul precision — the torch reference's
+    # numerics; TPU default runs f32 matmuls at bf16 input precision).
+    # This is the precision the quality-critical training paths pin
+    # (config.set_matmul_precision), so its speed cost is a headline
+    # extra (VERDICT r3 item 2).
+    hp_dt = None
+    try:
+        states_hp = tuple(
+            rbm_ops.init_rbm_state(keys[i], LAYERS[i], LAYERS[i + 1])
+            for i in range(len(LAYERS) - 1))
+        with jax.default_matmul_precision("highest"):
+            t0 = time.perf_counter()
+            states_hp, lhp = epoch(states_hp, 0)
+            float(lhp[-1, -1])
+            log(f"[bench] highest-precision first epoch (compile): "
+                f"{time.perf_counter() - t0:.1f}s")
+            times_hp = []
+            ehp = 1
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(group):
+                    states_hp, lhp = epoch(states_hp, ehp)
+                    ehp += 1
+                fhp_loss = float(lhp[-1, -1])
+                times_hp.append((time.perf_counter() - t0) / group)
+        vhp = [t for t in times_hp if flops / t <= PEAK_FLOPS]
+        if vhp:
+            hp_dt = float(np.median(vhp))
+            log(f"[bench] highest-precision epoch: {hp_dt * 1000:.2f} ms "
+                f"median (loss {fhp_loss:.4f}; groups "
+                f"{[round(t * 1000, 2) for t in times_hp]} ms)")
+    except Exception as exc:  # pragma: no cover - optional path
+        log(f"[bench] highest-precision variant unavailable: {exc}")
+
     # Mixed precision (COMPUTE_DTYPE): f32 master weights, bf16 chain
     # GEMMs — the quality-preserving fast mode (pure bf16 storage
     # collapses flagship quality, benchmarks/RESULTS.md round-2 study).
@@ -226,6 +260,13 @@ def bench_jax():
         extras["bf16_epoch_s"] = round(bf16_dt, 5)
     if mixed_dt is not None:
         extras["mixed_epoch_s"] = round(mixed_dt, 5)
+    if hp_dt is not None:
+        extras["highest_precision_epoch_s"] = round(hp_dt, 5)
+    # Precision the HEADLINE value is measured at (XLA's default:
+    # bf16-input f32 matmuls on TPU) — kept for r1-r3 continuity; the
+    # quality-critical training entry points pin "highest"
+    # (config.set_matmul_precision), whose cost is the extra above.
+    extras["matmul_precision"] = "default"
     return dt, extras
 
 
@@ -280,13 +321,20 @@ def bench_torch_cpu():
         return v
 
     one_batch(0)  # warm caches
-    n_timed = 3
-    t0 = time.perf_counter()
+    # Min over per-batch timings: the minimum is the contention-robust
+    # estimator of the uncontended batch time (other host jobs can only
+    # ADD time to a sample, never remove it) — VERDICT r3 weak #3.
+    n_timed = 4
+    per_batch_times = []
     for b in range(1, 1 + n_timed):
+        t0 = time.perf_counter()
         one_batch(b)
-    per_batch = (time.perf_counter() - t0) / n_timed
+        per_batch_times.append(time.perf_counter() - t0)
+    per_batch = min(per_batch_times)
     epoch_s = per_batch * nb
-    log(f"[bench] torch-CPU per-batch {per_batch * 1000:.0f} ms -> "
+    log(f"[bench] torch-CPU per-batch {per_batch * 1000:.0f} ms min "
+        f"(spread {min(per_batch_times) * 1000:.0f}-"
+        f"{max(per_batch_times) * 1000:.0f}) -> "
         f"epoch {epoch_s:.2f}s ({nb} batches)")
     return epoch_s
 
@@ -311,12 +359,41 @@ def main():
     # Primary metric first: a missing/broken torch must not prevent the
     # JSON line (torch is the optional baseline denominator, not a dep).
     jax_epoch, extras = bench_jax()
+    # vs_baseline uses a PINNED calibrated denominator (measured once on
+    # an idle host, benchmarks/torch_cpu_calibration.json) so it is a
+    # regression signal, not host-contention noise: round 2 vs round 3
+    # measured 13.6 s vs 31.6 s for identical torch code purely from CPU
+    # contention (VERDICT r3 weak #3). The live reading is still taken
+    # and reported as drift.
+    import os
+    calib_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "benchmarks", "torch_cpu_calibration.json")
+    try:
+        calib = json.load(open(calib_path))["torch_cpu_epoch_s"]
+    except Exception as e:  # pragma: no cover - file ships with the repo
+        log(f"[bench] calibration file unavailable ({e}); "
+            f"falling back to the live torch reading")
+        calib = None
     try:
         torch_epoch = bench_torch_cpu()
-        vs_baseline = round(torch_epoch / jax_epoch, 2)
+        if calib is not None:
+            drift = torch_epoch / calib
+            extras["torch_cpu_live_epoch_s"] = round(torch_epoch, 2)
+            extras["torch_cpu_drift"] = round(drift, 2)
+            if drift > 1.2:
+                log(f"[bench] NOTE: live torch epoch {torch_epoch:.1f}s is "
+                    f"{drift:.1f}x the calibrated {calib:.1f}s — host CPU "
+                    f"contended; vs_baseline uses the calibration")
+            elif drift < 0.95:
+                log(f"[bench] NOTE: live torch epoch {torch_epoch:.1f}s "
+                    f"beats the calibration {calib:.1f}s — consider "
+                    f"updating {calib_path}")
+        vs_baseline = round((calib if calib is not None else torch_epoch)
+                            / jax_epoch, 2)
     except Exception as e:  # pragma: no cover - env-dependent
         log(f"[bench] torch-CPU baseline unavailable: {e}")
-        vs_baseline = None
+        vs_baseline = (round(calib / jax_epoch, 2)
+                       if calib is not None else None)
     bench_gibbs_chains()
     result = {
         "metric": "idbn_cd1_epoch_time_10000-1500-500_b128",

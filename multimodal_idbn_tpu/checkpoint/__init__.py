@@ -90,11 +90,20 @@ def save_checkpoint(model, path: str, extra: Dict | None = None) -> None:
     # npz cannot round-trip ml_dtypes extension dtypes (bfloat16 comes
     # back as raw void "|V2"): store them as uint16 bit-views and record
     # the true dtype in the JSON meta for load_checkpoint to restore.
+    # Only bfloat16 is supported — any other extension/void dtype (e.g.
+    # a float8 state) would be silently corrupted by the uint16 view, so
+    # refuse loudly instead (r3 advisor finding).
+    import ml_dtypes
     dtypes = {}
     for k, arr in arrays.items():
-        if arr.dtype.kind == "V" or arr.dtype.name == "bfloat16":
+        if arr.dtype == ml_dtypes.bfloat16:
             dtypes[k] = "bfloat16"
             arrays[k] = arr.view(np.uint16)
+        elif arr.dtype.kind == "V" or arr.dtype.names is not None:
+            raise TypeError(
+                f"checkpoint array {k!r} has unsupported dtype "
+                f"{arr.dtype!r}: only numeric numpy dtypes and bfloat16 "
+                f"round-trip through the npz format")
     if dtypes:
         meta["dtypes"] = dtypes
     arrays["__meta__"] = np.frombuffer(
@@ -201,6 +210,36 @@ def load_checkpoint(model, path: str) -> Dict[str, np.ndarray]:
 # reproduces the uninterrupted run bit-for-bit (tests/test_resume.py).
 # ---------------------------------------------------------------------------
 
+def config_fingerprint(params: Dict, **extra_fields) -> str:
+    """Canonical JSON of the training-relevant configuration.
+
+    Stored in mid-training checkpoints and compared at resume so that
+    editing hyperparameters (seed, lr, epochs, layer widths, ...) and
+    rerunning with the same ``save_dir`` refuses to silently resume the
+    OLD run under the NEW schedule (r3 advisor finding). Keys that are
+    legitimate to change across a resume (checkpoint cadence, logging)
+    are excluded; ``extra_fields`` carries architecture (layer lists,
+    num_labels) that lives outside the params dict.
+    """
+    skip = {"CHECKPOINT_EVERY"}
+    payload = {k: v for k, v in params.items() if k not in skip}
+    payload.update(extra_fields)
+    return json.dumps(payload, sort_keys=True, default=str)
+
+
+def _fingerprint_mismatch_keys(loaded: str, current: str):
+    """Human-readable list of differing fields between two fingerprints
+    (falls back to a generic marker if either fails to parse)."""
+    try:
+        a, b = json.loads(loaded), json.loads(current)
+        keys = sorted(k for k in set(a) | set(b)
+                      if a.get(k, "<absent>") != b.get(k, "<absent>"))
+        return [f"{k}: checkpoint={a.get(k, '<absent>')!r} "
+                f"run={b.get(k, '<absent>')!r}" for k in keys]
+    except Exception:  # pragma: no cover - non-JSON fingerprints
+        return ["<fingerprints differ>"]
+
+
 def save_train_checkpoint(model, path: str, phase: str, next_epoch: int,
                           loss_history=None) -> None:
     """Checkpoint ``model`` mid-training: resumable at ``next_epoch``.
@@ -214,6 +253,10 @@ def save_train_checkpoint(model, path: str, phase: str, next_epoch: int,
         "phase": np.frombuffer(str(phase).encode(), dtype=np.uint8),
         "next_epoch": np.asarray(int(next_epoch), np.int64),
     }
+    fp = getattr(model, "_ckpt_fingerprint", None)
+    if fp:  # set by the CLI entry points (config_fingerprint)
+        extra["config_fingerprint"] = np.frombuffer(
+            str(fp).encode(), dtype=np.uint8)
     # The non-fused epoch loops draw batch order from the DataLoader's
     # internal shuffle counter, which does NOT equal epochs-trained in
     # general (e.g. init_joint_bias_from_data consumes one shuffle), so
@@ -248,6 +291,10 @@ def load_train_checkpoint(model, path: str):
     extras = load_checkpoint(model, path)
     phase = bytes(extras["phase"]).decode()
     next_epoch = int(extras["next_epoch"])
+    if "config_fingerprint" in extras:
+        # one-shot stash consumed by load_train_checkpoint_expecting
+        model._ckpt_loaded_fingerprint = bytes(
+            extras["config_fingerprint"]).decode()
     if "loss_history" in extras and hasattr(model, "loss_history"):
         model.loss_history = [float(x) for x in extras["loss_history"]]
     if "joint_metrics_history" in extras:
@@ -260,29 +307,46 @@ def load_train_checkpoint(model, path: str):
     if chain_keys and hasattr(model, "_pcd_chains"):
         model._pcd_chains = tuple(jnp.asarray(extras[k])
                                   for k in chain_keys)
+    # Restore loader shuffle counters. The counter VALUES are stashed on
+    # the model (not only applied to the live loader) because some
+    # callers attach the training loader after loading the checkpoint —
+    # scripts/train_bimodal.py loads the mod1/mod2 checkpoints before
+    # _train_mod_dbn builds the modality dataloader (r3 advisor finding).
+    # align_loader_for_resume applies the stash to whichever loader is
+    # attached at train() time.
+    restored = {}
     for attr in ("dataloader", "val_loader"):
         k = f"loader_epoch/{attr}"
-        ld = getattr(model, attr, None)
-        if k in extras and ld is not None and hasattr(ld, "_epoch"):
-            ld._epoch = int(extras[k])
-            # one-shot marker consumed by align_loader_for_resume so
-            # train() keeps the restored counter instead of guessing
-            model._loader_epochs_restored = True
+        if k in extras:
+            restored[attr] = int(extras[k])
+            ld = getattr(model, attr, None)
+            if ld is not None and hasattr(ld, "_epoch"):
+                ld._epoch = restored[attr]
+    if restored:
+        model._restored_loader_epochs = restored
     return phase, next_epoch
 
 
 def align_loader_for_resume(model, start_epoch: int) -> None:
     """Align the DataLoader shuffle counter for a resumed non-fused run.
 
-    When the checkpoint carried the loader's true counter,
-    :func:`load_train_checkpoint` already restored it — and the
-    epochs-trained guess below would be wrong whenever iterations and
-    epochs diverge (init_joint_bias_from_data consumes one shuffle, a
-    train_with_retry attempt inherits earlier attempts' iterations) — so
-    the restored value wins. Without one (manual ``start_epoch``,
-    pre-r3 checkpoints) fall back to one-iteration-per-epoch-trained.
+    When the checkpoint carried the loader's true counters,
+    :func:`load_train_checkpoint` stashed their VALUES on the model —
+    and the epochs-trained guess below would be wrong whenever
+    iterations and epochs diverge (init_joint_bias_from_data consumes
+    one shuffle, a train_with_retry attempt inherits earlier attempts'
+    iterations) — so the stash wins, applied here to whichever loader is
+    attached NOW (a loader may be attached after checkpoint load, e.g.
+    scripts/train_bimodal.py's modality loaders). Without a stash
+    (manual ``start_epoch``, pre-r3 checkpoints) fall back to
+    one-iteration-per-epoch-trained.
     """
-    if model.__dict__.pop("_loader_epochs_restored", False):
+    restored = model.__dict__.pop("_restored_loader_epochs", None)
+    if restored is not None:
+        for attr, val in restored.items():
+            ld = getattr(model, attr, None)
+            if ld is not None and hasattr(ld, "_epoch"):
+                ld._epoch = int(val)
         return
     ld = getattr(model, "dataloader", None)
     if start_epoch and ld is not None and hasattr(ld, "_epoch"):
@@ -338,15 +402,34 @@ def remove_checkpoints(paths) -> None:
             p.unlink()
 
 
-def load_train_checkpoint_expecting(model, path, expected_phase: str):
+def load_train_checkpoint_expecting(model, path, expected_phase: str,
+                                    ignore_config: bool = False):
     """:func:`load_train_checkpoint` + a clear error when the file's
-    phase tag doesn't match what the caller is resuming."""
+    phase tag doesn't match what the caller is resuming, or when the
+    checkpoint's config fingerprint differs from the current run's
+    (hyperparameters were edited since the checkpoint was written —
+    resuming would produce a model that follows neither schedule;
+    r3 advisor finding). ``ignore_config=True`` (YAML
+    ``training.resume_ignore_config``) skips the fingerprint check for
+    deliberate schedule changes (e.g. extending epochs)."""
     phase, next_epoch = load_train_checkpoint(model, str(path))
     if phase != expected_phase:
         raise ValueError(
             f"checkpoint {str(path)!r} is a {phase!r}-phase checkpoint "
             f"but this run expected {expected_phase!r} — wrong "
             f"checkpoint_dir, or leftovers from a different config?")
+    loaded_fp = model.__dict__.pop("_ckpt_loaded_fingerprint", None)
+    current_fp = getattr(model, "_ckpt_fingerprint", None)
+    if (not ignore_config and loaded_fp and current_fp
+            and loaded_fp != current_fp):
+        diffs = _fingerprint_mismatch_keys(loaded_fp, current_fp)
+        raise ValueError(
+            f"checkpoint {str(path)!r} was written by a run with "
+            f"different training configuration ({'; '.join(diffs)}). "
+            f"Resuming it under the new config would produce a model "
+            f"that follows neither schedule. Delete the checkpoint "
+            f"directory to start fresh, or set "
+            f"training.resume_ignore_config: true to resume anyway.")
     return next_epoch
 
 

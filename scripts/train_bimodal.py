@@ -218,12 +218,24 @@ def main():
     # crash in a later phase from retraining earlier ones. Checkpoints
     # are removed after the final model save.
     from multimodal_idbn_tpu.checkpoint import (
-        cli_checkpoint_paths, load_train_checkpoint_expecting,
-        save_train_checkpoint)
+        cli_checkpoint_paths, config_fingerprint,
+        load_train_checkpoint_expecting, save_train_checkpoint)
     ckpt_every = int(params.get("CHECKPOINT_EVERY", 0) or 0)
     mod1_ckpt = mod2_ckpt = joint_ckpt = None
     mod1_start = mod2_start = joint_start = 0
     mod1_done = mod2_done = False
+    # Fingerprint the training-relevant config into every checkpoint so
+    # resuming after a hyperparameter edit refuses instead of silently
+    # mixing schedules (checkpoint.load_train_checkpoint_expecting).
+    fp = config_fingerprint(
+        params,
+        mod1_layers=model.get("mod1_layers", [10000, 1500, 500]),
+        mod2_layers=model.get("mod2_layers", [1568, 500, 500]),
+        joint_layers=joint_hidden)
+    for _m in (bimodal, bimodal.mod1_dbn, bimodal.mod2_dbn):
+        _m._ckpt_fingerprint = fp
+    ignore_cfg = bool(cfg.get("training", {}).get(
+        "resume_ignore_config", False))
     if ckpt_every > 0:
         ckpts = cli_checkpoint_paths(cfg, ("mod1", "mod2", "bimodal_joint"))
         mod1_ckpt, mod2_ckpt = ckpts["mod1"], ckpts["mod2"]
@@ -232,20 +244,23 @@ def main():
             # restores every RBM in the model (both modality stacks +
             # joint layers), so the mod phases are skipped entirely
             joint_start = load_train_checkpoint_expecting(
-                bimodal, joint_ckpt, "bimodal_joint")
+                bimodal, joint_ckpt, "bimodal_joint",
+                ignore_config=ignore_cfg)
             mod1_done = mod2_done = True
             print(f"[train_bimodal] resuming joint training at epoch "
                   f"{joint_start}/{params['EPOCHS_JOINT']}")
         else:
             if mod1_ckpt.exists():
                 mod1_start = load_train_checkpoint_expecting(
-                    bimodal.mod1_dbn, mod1_ckpt, "mod1")
+                    bimodal.mod1_dbn, mod1_ckpt, "mod1",
+                    ignore_config=ignore_cfg)
                 mod1_done = mod1_start >= int(params["EPOCHS_MOD1"])
                 print(f"[train_bimodal] resuming MOD1 training at epoch "
                       f"{mod1_start}/{params['EPOCHS_MOD1']}")
             if mod2_ckpt.exists():
                 mod2_start = load_train_checkpoint_expecting(
-                    bimodal.mod2_dbn, mod2_ckpt, "mod2")
+                    bimodal.mod2_dbn, mod2_ckpt, "mod2",
+                    ignore_config=ignore_cfg)
                 mod2_done = mod2_start >= int(params["EPOCHS_MOD2"])
                 print(f"[train_bimodal] resuming MOD2 training at epoch "
                       f"{mod2_start}/{params['EPOCHS_MOD2']}")

@@ -173,23 +173,37 @@ def main():
     # picks up bit-identically at the last checkpoint. Checkpoints are
     # removed after the final model save.
     from multimodal_idbn_tpu.checkpoint import (
-        cli_checkpoint_paths, load_train_checkpoint_expecting)
+        cli_checkpoint_paths, config_fingerprint,
+        load_train_checkpoint_expecting)
     ckpt_every = int(params.get("CHECKPOINT_EVERY", 0) or 0)
     image_ckpt = joint_ckpt = None
     image_start = joint_start = 0
     image_done = False
+    # Fingerprint the training-relevant config into every checkpoint so
+    # resuming after a hyperparameter edit refuses instead of silently
+    # mixing schedules (checkpoint.load_train_checkpoint_expecting).
+    fp = config_fingerprint(
+        params,
+        image_layers=model.get("image_layers", [10000, 1500, 1500]),
+        joint_hidden=model.get("joint_hidden", 1000),
+        num_labels=model.get("num_labels", 32))
+    imdbn._ckpt_fingerprint = fp
+    imdbn.image_idbn._ckpt_fingerprint = fp
+    ignore_cfg = bool(cfg.get("training", {}).get(
+        "resume_ignore_config", False))
     if ckpt_every > 0:
         ckpts = cli_checkpoint_paths(cfg, ("image", "joint"))
         image_ckpt, joint_ckpt = ckpts["image"], ckpts["joint"]
         if joint_ckpt.exists():
             joint_start = load_train_checkpoint_expecting(
-                imdbn, joint_ckpt, "joint")
+                imdbn, joint_ckpt, "joint", ignore_config=ignore_cfg)
             image_done = True
             print(f"[train_multimodal] resuming joint training at epoch "
                   f"{joint_start}/{params['EPOCHS_JOINT']}")
         elif image_ckpt.exists():
             image_start = load_train_checkpoint_expecting(
-                imdbn.image_idbn, image_ckpt, "image")
+                imdbn.image_idbn, image_ckpt, "image",
+                ignore_config=ignore_cfg)
             image_done = image_start >= int(params["EPOCHS_IMG"])
             print(f"[train_multimodal] resuming image training at epoch "
                   f"{image_start}/{params['EPOCHS_IMG']}")

@@ -441,9 +441,92 @@ def test_pre_r3_checkpoint_falls_back_to_epoch_guess(tmp_path):
     m2 = _make_idbn()
     phase, nxt = load_train_checkpoint(m2, p)
     assert (phase, nxt) == ("image", 2)
-    assert "_loader_epochs_restored" not in m2.__dict__
+    assert "_restored_loader_epochs" not in m2.__dict__
     align_loader_for_resume(m2, nxt)
     assert m2.dataloader._epoch == 2  # legacy guess applied
+
+
+def test_loader_counter_survives_late_loader_attach(tmp_path):
+    """The restored shuffle counter must apply to a loader attached
+    AFTER checkpoint load: scripts/train_bimodal.py loads the mod1/mod2
+    checkpoints before _train_mod_dbn builds the modality dataloader
+    (r3 advisor finding). load_train_checkpoint stashes the counter
+    values on the model; align_loader_for_resume applies them to
+    whichever loader train() sees."""
+    from multimodal_idbn_tpu.checkpoint import align_loader_for_resume
+
+    m = _make_idbn()
+    m.dataloader._epoch = 7  # diverged from epochs-trained (e.g. retry)
+    p = str(tmp_path / "late_ck")
+    save_train_checkpoint(m, p, phase="image", next_epoch=3)
+
+    m2 = _make_idbn()
+    saved_loader = m2.dataloader
+    m2.dataloader = None  # the bimodal script's state at load time
+    phase, nxt = load_train_checkpoint(m2, p)
+    assert (phase, nxt) == ("image", 3)
+    assert m2._restored_loader_epochs["dataloader"] == 7
+    m2.dataloader = saved_loader  # attached later by the caller
+    align_loader_for_resume(m2, nxt)
+    assert m2.dataloader._epoch == 7  # restored value, not the guess (3)
+    assert "_restored_loader_epochs" not in m2.__dict__
+
+
+def test_config_fingerprint_mismatch_refuses_resume(tmp_path):
+    """Editing training hyperparameters and rerunning with the same
+    save_dir must refuse to resume the old checkpoint (r3 advisor
+    finding), naming the differing keys; resume_ignore_config
+    (ignore_config=True) overrides for deliberate schedule changes."""
+    from multimodal_idbn_tpu.checkpoint import (
+        config_fingerprint, load_train_checkpoint_expecting)
+
+    m = _make_idbn()
+    m._ckpt_fingerprint = config_fingerprint(PARAMS, layers=[16, 8])
+    p = str(tmp_path / "fp_ck")
+    save_train_checkpoint(m, p, phase="image", next_epoch=2)
+
+    # same config resumes fine
+    m2 = _make_idbn()
+    m2._ckpt_fingerprint = config_fingerprint(PARAMS, layers=[16, 8])
+    assert load_train_checkpoint_expecting(m2, p, "image") == 2
+
+    # edited lr refuses, and the error names the edited key
+    m3 = _make_idbn()
+    edited = dict(PARAMS, LEARNING_RATE=0.05)
+    m3._ckpt_fingerprint = config_fingerprint(edited, layers=[16, 8])
+    with pytest.raises(ValueError, match="LEARNING_RATE"):
+        load_train_checkpoint_expecting(m3, p, "image")
+    # ... unless the user opts out
+    assert load_train_checkpoint_expecting(
+        m3, p, "image", ignore_config=True) == 2
+
+    # CHECKPOINT_EVERY is cadence, not schedule: excluded from the print
+    m4 = _make_idbn()
+    m4._ckpt_fingerprint = config_fingerprint(
+        dict(PARAMS, CHECKPOINT_EVERY=7), layers=[16, 8])
+    assert load_train_checkpoint_expecting(m4, p, "image") == 2
+
+    # pre-fingerprint checkpoints (no stored fp) still resume
+    m5 = _make_idbn()
+    save_train_checkpoint(m5, str(tmp_path / "nofp_ck"), phase="image",
+                          next_epoch=1)
+    m6 = _make_idbn()
+    m6._ckpt_fingerprint = config_fingerprint(PARAMS, layers=[16, 8])
+    assert load_train_checkpoint_expecting(
+        m6, str(tmp_path / "nofp_ck"), "image") == 1
+
+
+def test_save_checkpoint_rejects_non_bf16_extension_dtype(tmp_path):
+    """Only bfloat16 gets the uint16 bit-view treatment; any other
+    void/extension dtype must raise instead of being silently mislabeled
+    as bfloat16 and corrupted on load (r3 advisor finding)."""
+    import numpy as np
+    import pytest
+
+    m = _make_idbn()
+    v = np.zeros(4, dtype=[("a", np.uint8)])  # structured (void-kind)
+    with pytest.raises(TypeError, match="unsupported dtype"):
+        save_checkpoint(m, str(tmp_path / "bad_ck"), extra={"weird": v})
 
 
 def test_bf16_pcd_checkpoint_roundtrip(tmp_path):
