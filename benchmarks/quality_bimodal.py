@@ -38,7 +38,13 @@ def main():
     ap.add_argument("--n-samples", type=int, default=2048)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--matmul-precision", default="highest",
+                    choices=["default", "high", "highest"],
+                    help="XLA f32 matmul precision; 'highest' = true-f32 "
+                         "GEMMs matching the torch reference")
     args = ap.parse_args()
+    from multimodal_idbn_tpu.config import set_matmul_precision
+    set_matmul_precision(args.matmul_precision)
 
     import jax
     if args.cpu:

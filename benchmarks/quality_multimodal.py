@@ -34,6 +34,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="reduced epochs for smoke runs")
+    ap.add_argument("--matmul-precision", default="highest",
+                    choices=["default", "high", "highest"],
+                    help="XLA f32 matmul precision; 'highest' = true-f32 "
+                         "GEMMs matching the torch reference (the TPU "
+                         "default runs bf16-input GEMMs and is an "
+                         "uncontrolled quality confound, VERDICT r3)")
     ap.add_argument("--n-samples", type=int, default=2048)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--init-retry", action="store_true",
@@ -61,6 +67,8 @@ def main():
                          "sampled generator (sample_txt2img) vs the "
                          "mean decoder (txt2img)")
     args = ap.parse_args()
+    from multimodal_idbn_tpu.config import set_matmul_precision
+    set_matmul_precision(args.matmul_precision)
 
     import numpy as np
 

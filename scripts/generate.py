@@ -58,11 +58,18 @@ def main():
     ap.add_argument("--png", default=None,
                     help="also save a PNG grid (needs matplotlib and a "
                          "square image size)")
+    ap.add_argument("--matmul-precision", default="highest",
+                    choices=["default", "high", "highest"],
+                    help="XLA f32 matmul precision (TPU default runs "
+                         "bf16-input GEMMs; 'highest' matches training "
+                         "and the torch reference's numerics)")
     args = ap.parse_args()
 
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    from multimodal_idbn_tpu.config import set_matmul_precision
+    set_matmul_precision(args.matmul_precision)
 
     payload = iMDBN.load_model(args.model)
     model = iMDBN.from_payload(payload)

@@ -156,10 +156,17 @@ def _train_mod_dbn(bimodal, train_loader, params, modality_idx: int,
 
 def main():
     from multimodal_idbn_tpu.config import (
-        enable_persistent_compilation_cache)
+        enable_persistent_compilation_cache, set_matmul_precision)
     enable_persistent_compilation_cache()
     args = parse_args()
     cfg = load_config(args.config)
+
+    # True-f32 GEMMs by default: TPUs run f32 matmuls at bf16 input
+    # precision otherwise, and CD training is measurably precision-
+    # sensitive (benchmarks/RESULTS.md). Matches the torch reference's
+    # numerics (rbm.py:181-227); training.matmul_precision overrides.
+    set_matmul_precision(
+        str(cfg.get("training", {}).get("matmul_precision", "highest")))
 
     dataset = cfg.get("dataset", {})
     model = cfg.get("model", {})
