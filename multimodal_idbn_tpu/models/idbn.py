@@ -399,6 +399,8 @@ class iDBN:
                     checkpoint_phase, b_end, epochs,
                     loss_history=self.loss_history)
             self.epoch_timer = timer
+            if epochs > start_epoch:
+                self._warn_if_collapsed()
             return
 
         if not fused:
@@ -432,6 +434,8 @@ class iDBN:
                 epoch + 1, epochs, loss_history=self.loss_history,
                 cadence_only=True)
         self.epoch_timer = timer
+        if epochs > start_epoch:
+            self._warn_if_collapsed()
 
     def reinit_layers(self, seed_offset: int = 0) -> None:
         """Re-draw all layer parameters (fresh W ~ N/sqrt(V), zero biases
@@ -448,6 +452,39 @@ class iDBN:
                 softmax_groups=rbm.softmax_groups,
                 seed=None if base is None else base + i + seed_offset,
                 dtype=dtype)
+
+    def _recon_collapse_ratio(self) -> Optional[float]:
+        """Val-batch auto-recon MSE over the blank-reconstruction
+        baseline mean(x²), or None without a val batch. Collapsed seeds
+        sit at ratio ≈ 1 (blank output), healthy ones ≤ 0.71; 0.9
+        separates them (benchmarks/RESULTS.md round-2 study)."""
+        if self.val_batch is None:
+            return None
+        vb = as_array(self.val_batch)
+        rec = jnp.clip(self.reconstruct(vb), 0, 1)
+        mse = float(jnp.mean((vb - rec) ** 2))
+        blank = float(jnp.mean(vb * vb))
+        return mse / max(blank, 1e-12)
+
+    def _warn_if_collapsed(self, recon_margin: float = 0.9) -> bool:
+        """Always-on, LOG-ONLY end-of-phase collapse signal (semantics
+        untouched — reference parity keeps retries opt-in). A flagship
+        user otherwise hits a blank-stack run ~1-2 times in 11 with no
+        indication (VERDICT r3). Follows the reference's own ``warn/*``
+        log-and-continue philosophy (SURVEY.md §5.3)."""
+        if getattr(self, "_suppress_collapse_warn", False):
+            return False
+        ratio = self._recon_collapse_ratio()
+        if ratio is None or ratio < recon_margin:
+            return False
+        print(f"[iDBN] warn/idbn_blank_recon: end-of-phase auto-recon is "
+              f"at {ratio:.2f}x the blank baseline (>= {recon_margin}) — "
+              f"the stack likely collapsed at initialization. Retrain "
+              f"with another seed, or enable the retry rescue "
+              f"(iDBN.train_with_retry / the CLIs' training.init_retry).")
+        if self.wandb_run is not None:
+            self.wandb_run.log({"warn/idbn_blank_recon": ratio})
+        return True
 
     def train_with_retry(self, epochs: int, max_retries: int = 2,
                          recon_margin: float = 0.9, start_epoch: int = 0,
@@ -470,26 +507,27 @@ class iDBN:
         cannot ship a collapsed model the uninterrupted run would have
         retrained. Retries always restart from epoch 0 (reinit).
         """
-        vb = None
-        if self.val_batch is not None:
-            vb = as_array(self.val_batch)
-
         def collapsed() -> bool:
-            if vb is None:
-                return False
-            rec = jnp.clip(self.reconstruct(vb), 0, 1)
-            mse = float(jnp.mean((vb - rec) ** 2))
-            blank = float(jnp.mean(vb * vb))
-            return mse >= recon_margin * blank
+            ratio = self._recon_collapse_ratio()
+            return ratio is not None and ratio >= recon_margin
 
-        self.train(epochs, start_epoch=start_epoch, **train_kw)
-        retries = 0
-        while retries < int(max_retries) and collapsed():
-            retries += 1
-            print(f"[iDBN] recon at blank level — reinit (retry "
-                  f"{retries}/{max_retries})")
-            self.reinit_layers(seed_offset=7919 * retries)
-            self.train(epochs, **train_kw)
+        # This path handles collapse itself — suppress the log-only
+        # end-of-train() warning so the user isn't told to enable the
+        # rescue they already enabled.
+        self._suppress_collapse_warn = True
+        try:
+            self.train(epochs, start_epoch=start_epoch, **train_kw)
+            retries = 0
+            while retries < int(max_retries) and collapsed():
+                retries += 1
+                print(f"[iDBN] recon at blank level — reinit (retry "
+                      f"{retries}/{max_retries})")
+                self.reinit_layers(seed_offset=7919 * retries)
+                self.train(epochs, **train_kw)
+        finally:
+            self._suppress_collapse_warn = False
+        if collapsed():  # out of retries and still blank: say so
+            self._warn_if_collapsed(recon_margin)
         return retries
 
     def _log_epoch(self, epoch: int, mean_loss: float, log_every_pca: int,

@@ -159,3 +159,48 @@ def test_train_with_retry_reinits_on_collapse(monkeypatch):
     retries = m.train_with_retry(epochs=2, max_retries=2)
     assert retries == 1
     assert train_runs["n"] == 2
+
+
+def test_collapse_warning_fires_on_blank_stack(monkeypatch, capsys):
+    """Default-on, LOG-ONLY collapse signal (VERDICT r3): when the
+    end-of-phase auto-recon sits at blank level, plain train() prints a
+    warn/idbn_blank_recon line pointing at the retry rescue — without
+    changing semantics (no reinit, no retry)."""
+    params = {"LEARNING_RATE": 0.1, "WEIGHT_PENALTY": 1e-4,
+              "INIT_MOMENTUM": 0.5, "FINAL_MOMENTUM": 0.9,
+              "LEARNING_RATE_DYNAMIC": True, "CD": 1}
+    train, val, _ = create_dataloaders_uniform(batch_size=16, n_samples=48,
+                                               num_classes=4, side=10,
+                                               seed=0)
+    m = iDBN([100, 16, 8], params, train, val, seed=0)
+    w_before = np.asarray(m.layers[0].W).copy()
+    monkeypatch.setattr(  # force a blank end-of-phase reconstruction
+        m, "reconstruct", lambda x: jnp.zeros_like(jnp.asarray(x)))
+    m.train(epochs=1)
+    out = capsys.readouterr().out
+    assert "warn/idbn_blank_recon" in out
+    assert "train_with_retry" in out  # points the user at the rescue
+    # log-only: exactly one epoch ran — no retry/reinit happened
+    assert len(m.loss_history) == 1
+    # the single epoch DID train (so the warning didn't roll anything back)
+    assert not np.array_equal(np.asarray(m.layers[0].W), w_before)
+
+
+def test_collapse_warning_silent_when_healthy_and_in_retry(capsys):
+    """No warning on a healthy run; train_with_retry suppresses the
+    per-train() warning (it handles collapse itself)."""
+    params = {"LEARNING_RATE": 0.1, "WEIGHT_PENALTY": 1e-4,
+              "INIT_MOMENTUM": 0.5, "FINAL_MOMENTUM": 0.9,
+              "LEARNING_RATE_DYNAMIC": True, "CD": 1}
+    train, val, _ = create_dataloaders_uniform(batch_size=16, n_samples=64,
+                                               num_classes=4, side=12,
+                                               seed=0)
+    m = iDBN([144, 32, 16], params, train, val, seed=0)
+    m.train(epochs=8)
+    assert "warn/idbn_blank_recon" not in capsys.readouterr().out
+
+    m2 = iDBN([144, 32, 16], params, train, val, seed=0)
+    retries = m2.train_with_retry(epochs=8, max_retries=1)
+    out = capsys.readouterr().out
+    assert retries == 0
+    assert "warn/idbn_blank_recon" not in out
