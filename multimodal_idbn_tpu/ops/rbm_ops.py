@@ -142,6 +142,34 @@ def _negative_chain(state: RBMState, key: Array, h0: Array, cd: int,
     return v, v_prob, h_prob
 
 
+def stochastic_round(key: Array, x: Array, dtype) -> Array:
+    """Unbiased rounding of f32 values into ``dtype`` (bfloat16).
+
+    Adds uniform random bits below the bf16 mantissa cutoff and
+    truncates, so ``E[stochastic_round(x)] == x`` exactly for finite x.
+    Nearest-rounding bf16 updates silently drop any increment below
+    ~0.4% of the parameter's magnitude — the measured failure mode of
+    pure-bf16 storage training (benchmarks/RESULTS.md round-2 study:
+    flagship top1 collapses to ~0.3); stochastic rounding keeps the
+    EXPECTED update exact at any increment/parameter magnitude ratio
+    (Gupta et al. 2015, "Deep Learning with Limited Numerical
+    Precision"). Plain XLA ops (bitcast + uint32 adds), fuses into the
+    update epilogue; no reference counterpart (the reference is f32-only,
+    rbm.py:181-227).
+    """
+    if jnp.dtype(dtype) == jnp.float32:
+        return x.astype(jnp.float32)
+    if jnp.dtype(dtype) != jnp.dtype(jnp.bfloat16):
+        raise ValueError(f"stochastic_round supports bfloat16/float32 "
+                         f"targets, got {dtype}")
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    r = jax.random.bits(key, bits.shape, jnp.uint32) & jnp.uint32(0xFFFF)
+    out = (bits + r) & jnp.uint32(0xFFFF0000)
+    # the truncated f32 is exactly representable in bf16: cast is exact
+    return jax.lax.bitcast_convert_type(out, jnp.float32).astype(
+        jnp.bfloat16)
+
+
 def compute_cast(state: RBMState, compute_dtype=None) -> RBMState:
     """Weights/biases cast once to a reduced compute dtype (mixed
     precision); momentum buffers are update-only and left untouched.
@@ -165,7 +193,8 @@ def cd_update(state: RBMState, key: Array, data: Array, *,
               lr, mom, weight_decay, cd: int,
               sparsity: bool = False, sparsity_factor: float = 0.05,
               groups: SoftmaxGroups = (),
-              compute_dtype=None) -> Tuple[RBMState, Array]:
+              compute_dtype=None,
+              sr: Optional[bool] = None) -> Tuple[RBMState, Array]:
     """One CD-k parameter update on a batch; returns (new_state, mse loss).
 
     Exact update order of reference rbm.py:181-227 (SURVEY.md §2.1(3)):
@@ -178,12 +207,22 @@ def cd_update(state: RBMState, key: Array, data: Array, *,
     mixed precision — the Gibbs chain runs on a bf16 copy of the weights
     while statistics accumulate in f32 and the parameter update applies to
     the f32 master state (see ``compute_cast``).
+
+    ``sr`` (static): stochastic-rounding parameter updates. ``None``
+    (default) = auto: ON whenever the STORAGE dtype is bfloat16 —
+    nearest-rounded bf16 updates are the documented quality collapse of
+    that mode (see :func:`stochastic_round`), so unbiased rounding is
+    the only sensible default there; a no-op for f32 storage. ``False``
+    forces the legacy biased bf16 epilogue (ablation only). The chain
+    RNG (k_pos/k_neg) is untouched, so SR and non-SR runs sample
+    identical Gibbs chains until the weights diverge.
     """
     if int(cd) < 1:
         raise ValueError(f"cd_update requires CD >= 1, got {cd}")
     k_pos, k_neg = jax.random.split(key)
     bsz = data.shape[0]
     mixed = compute_dtype is not None
+    sr_on = (state.w.dtype == jnp.bfloat16) if sr is None else bool(sr)
     # Opt-in reduced-precision storage (init_rbm_state(dtype=bfloat16)):
     # the whole update then runs in the state dtype, halving the HBM
     # traffic the flagship epoch is bound on (benchmarks/RESULTS.md).
@@ -195,10 +234,12 @@ def cd_update(state: RBMState, key: Array, data: Array, *,
     h0 = sample_bernoulli(k_pos, pos_h)            # chain start sampled (:203)
     v, v_prob, h_prob = _negative_chain(cstate, k_neg, h0, cd, groups)
 
-    if mixed:
+    if mixed or sr_on:
         # bf16 GEMM operands, f32 accumulation/output (the MXU
         # accumulates f32 anyway; preferred_element_type skips the
-        # output rounding), elementwise sums in f32.
+        # output rounding), elementwise sums in f32. The SR epilogue
+        # needs f32 statistics too (the whole point is an f32-exact
+        # update before the single unbiased rounding).
         f32 = jnp.float32
         pos_assoc = jnp.matmul(data.T, pos_h, preferred_element_type=f32)
         neg_assoc = jnp.matmul(v.T, h_prob, preferred_element_type=f32)
@@ -214,10 +255,57 @@ def cd_update(state: RBMState, key: Array, data: Array, *,
         pos_h_mean = pos_h.mean(0)
         data_sum, v_sum = data.sum(0), v.sum(0)
 
+    # Loss reported in f32 regardless of storage dtype.
+    loss = jnp.mean(jnp.square((data - v_prob).astype(jnp.float32)))  # (:226)
+
+    new_state = _apply_update(
+        state, key, pos_assoc, neg_assoc, pos_h_sum, neg_h_sum,
+        pos_h_mean, data_sum, v_sum, lr=lr, mom=mom,
+        weight_decay=weight_decay, bsz=bsz, sparsity=sparsity,
+        sparsity_factor=sparsity_factor, sr_on=sr_on)
+    return new_state, loss
+
+
+def _apply_update(state: RBMState, key: Array, pos_assoc, neg_assoc,
+                  pos_h_sum, neg_h_sum, pos_h_mean, data_sum, v_sum, *,
+                  lr, mom, weight_decay, bsz, sparsity, sparsity_factor,
+                  sr_on: bool) -> RBMState:
+    """Momentum-buffer-then-apply parameter update (rbm.py:212-224),
+    shared by the CD and PCD trainers.
+
+    ``sr_on``: f32-exact update then ONE unbiased stochastic rounding
+    per stored array (see :func:`stochastic_round`); the SR keys come
+    from ``fold_in(key, 13)`` so the chain keys (split(key)) are
+    untouched. Off: the update runs in the storage dtype exactly as the
+    reference does in f32.
+    """
+    dt = state.w.dtype
+    if sr_on:
+        f32 = jnp.float32
+        ks = jax.random.split(jax.random.fold_in(key, 13), 6)
+        w_m_f = (mom * state.w_m.astype(f32)
+                 + lr * ((pos_assoc - neg_assoc) / bsz
+                         - weight_decay * state.w.astype(f32)))
+        w_f = state.w.astype(f32) + w_m_f
+        hb_m_f = (mom * state.hb_m.astype(f32)
+                  + lr * (pos_h_sum - neg_h_sum) / bsz)
+        if sparsity:
+            hb_m_f = hb_m_f + (-lr * (pos_h_mean - sparsity_factor))
+        hb_f = state.hb.astype(f32) + hb_m_f
+        vb_m_f = (mom * state.vb_m.astype(f32)
+                  + lr * (data_sum - v_sum) / bsz)
+        vb_f = state.vb.astype(f32) + vb_m_f
+        return RBMState(
+            stochastic_round(ks[0], w_f, dt),
+            stochastic_round(ks[1], hb_f, dt),
+            stochastic_round(ks[2], vb_f, dt),
+            stochastic_round(ks[3], w_m_f, dt),
+            stochastic_round(ks[4], hb_m_f, dt),
+            stochastic_round(ks[5], vb_m_f, dt))
+
     # Updates cast back to the storage dtype (identity for f32; pins the
     # scan carry dtype when lr/mom arrive as f32 schedule arrays while
     # the state is stored bf16).
-    dt = state.w.dtype
     w_m = (mom * state.w_m + lr * ((pos_assoc - neg_assoc) / bsz
                                    - weight_decay * state.w)).astype(dt)  # (:212)
     w = (state.w + w_m).astype(dt)                                # (:213)
@@ -232,16 +320,15 @@ def cd_update(state: RBMState, key: Array, data: Array, *,
             + lr * (data_sum - v_sum) / bsz).astype(dt)           # (:223)
     vb = (state.vb + vb_m).astype(dt)                             # (:224)
 
-    # Loss reported in f32 regardless of storage dtype.
-    loss = jnp.mean(jnp.square((data - v_prob).astype(jnp.float32)))  # (:226)
-    return RBMState(w, hb, vb, w_m, hb_m, vb_m), loss
+    return RBMState(w, hb, vb, w_m, hb_m, vb_m)
 
 
 def pcd_update(state: RBMState, chain_v: Array, key: Array, data: Array, *,
                lr, mom, weight_decay, cd: int,
                sparsity: bool = False, sparsity_factor: float = 0.05,
                groups: SoftmaxGroups = (),
-               compute_dtype=None) -> Tuple[RBMState, Array, Array]:
+               compute_dtype=None,
+               sr: Optional[bool] = None) -> Tuple[RBMState, Array, Array]:
     """Persistent-CD update (Tieleman 2008): the negative chain continues
     from persistent fantasy particles ``chain_v`` instead of restarting at
     the data. Returns (new_state, new_chain_v, loss).
@@ -260,6 +347,8 @@ def pcd_update(state: RBMState, chain_v: Array, key: Array, data: Array, *,
     k_pos, k_chain, k_neg = jax.random.split(key, 3)
     bsz = data.shape[0]
     mixed = compute_dtype is not None
+    # same auto-SR rule as cd_update (see stochastic_round)
+    sr_on = (state.w.dtype == jnp.bfloat16) if sr is None else bool(sr)
     cstate = compute_cast(state, compute_dtype) if mixed else state
     data = data.astype(cstate.w.dtype)
     chain_v = chain_v.astype(cstate.w.dtype)
@@ -271,7 +360,7 @@ def pcd_update(state: RBMState, chain_v: Array, key: Array, data: Array, *,
     h_chain = sample_bernoulli(k_chain, hidden_probs(cstate, chain_v))
     v, v_prob, h_prob = _negative_chain(cstate, k_neg, h_chain, cd, groups)
 
-    if mixed:
+    if mixed or sr_on:
         f32 = jnp.float32
         pos_assoc = jnp.matmul(data.T, pos_h, preferred_element_type=f32)
         neg_assoc = jnp.matmul(v.T, h_prob, preferred_element_type=f32)
@@ -287,26 +376,15 @@ def pcd_update(state: RBMState, chain_v: Array, key: Array, data: Array, *,
         pos_h_mean = pos_h.mean(0)
         data_sum, v_sum = data.sum(0), v.sum(0)
 
-    dt = state.w.dtype
-    w_m = (mom * state.w_m + lr * ((pos_assoc - neg_assoc) / bsz
-                                   - weight_decay * state.w)).astype(dt)
-    w = (state.w + w_m).astype(dt)
-
-    hb_m = mom * state.hb_m + lr * (pos_h_sum - neg_h_sum) / bsz
-    if sparsity:
-        hb_m = hb_m + (-lr * (pos_h_mean - sparsity_factor))
-    hb_m = hb_m.astype(dt)
-    hb = (state.hb + hb_m).astype(dt)
-
-    vb_m = (mom * state.vb_m
-            + lr * (data_sum - v_sum) / bsz).astype(dt)
-    vb = (state.vb + vb_m).astype(dt)
-
     # Monitoring loss: one-step reconstruction from the data-anchored h0
     # (the quantity cd_update's loss reduces to at CD-1).
     v_recon = visible_probs(cstate, h0, groups=groups)
     loss = jnp.mean(jnp.square((data - v_recon).astype(jnp.float32)))
-    new_state = RBMState(w, hb, vb, w_m, hb_m, vb_m)
+    new_state = _apply_update(
+        state, key, pos_assoc, neg_assoc, pos_h_sum, neg_h_sum,
+        pos_h_mean, data_sum, v_sum, lr=lr, mom=mom,
+        weight_decay=weight_decay, bsz=bsz, sparsity=sparsity,
+        sparsity_factor=sparsity_factor, sr_on=sr_on)
     return new_state, v.astype(state.w.dtype), loss
 
 

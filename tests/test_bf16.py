@@ -116,3 +116,95 @@ def test_model_level_dtype_param():
     m.train_joint(epochs=1)
     assert m.joint_rbm.state.w.dtype == jnp.bfloat16
     assert np.isfinite(float(m.image_idbn.loss_history[-1]))
+
+
+def test_stochastic_round_unbiased_and_adjacent():
+    """SR must return one of the two bf16 neighbors of x, with the
+    sample mean converging to x (unbiasedness is the whole point)."""
+    import ml_dtypes
+
+    x = jnp.full((4096,), 0.1003, jnp.float32)  # not bf16-representable
+    lo = np.asarray(np.float32(np.asarray(0.1003, np.float32)
+                               .astype(ml_dtypes.bfloat16)))  # nearest
+    out = rbm_ops.stochastic_round(jax.random.key(0), x, jnp.bfloat16)
+    assert out.dtype == jnp.bfloat16
+    vals = np.unique(np.asarray(out, np.float32))
+    assert len(vals) <= 2  # the two adjacent bf16 values only
+    mean = float(np.mean(np.asarray(out, np.float32)))
+    assert abs(mean - 0.1003) < 2e-4, (mean, vals, lo)
+    # exact bf16 values pass through unchanged
+    exact = jnp.asarray(vals, jnp.float32)
+    out2 = rbm_ops.stochastic_round(jax.random.key(1), exact, jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(out2, np.float32), vals)
+    # f32 target is the identity
+    out3 = rbm_ops.stochastic_round(jax.random.key(2), x, jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out3), np.asarray(x))
+
+
+def test_stochastic_round_negative_and_signs():
+    """Unbiased for negative values too (sign-magnitude bit trick)."""
+    x = jnp.full((8192,), -0.0377, jnp.float32)
+    out = np.asarray(rbm_ops.stochastic_round(
+        jax.random.key(3), x, jnp.bfloat16), np.float32)
+    assert (out < 0).all()
+    assert abs(out.mean() - (-0.0377)) < 1e-4
+
+
+def test_bf16_sr_accumulates_tiny_updates():
+    """The bf16 quality collapse: increments below ~0.4% of the weight
+    magnitude vanish under nearest rounding (sr=False) but accumulate in
+    expectation under SR (the default for bf16 storage)."""
+    state = rbm_ops.init_rbm_state(jax.random.key(0), 64, 32,
+                                   dtype=jnp.bfloat16)
+    data = _bars_data()
+
+    def run(sr, lr, steps=50):
+        s = state
+        for t in range(steps):
+            s, _ = rbm_ops.cd_update(s, jax.random.key(100 + t), data,
+                                     lr=lr, mom=0.0, weight_decay=0.0,
+                                     cd=1, sr=sr)
+        return s
+
+    lr = 1e-4  # increments ~1e-5-1e-6 vs weights ~0.1: sub-ULP for bf16
+    drift_legacy = float(jnp.mean(jnp.abs(
+        (run(False, lr).vb - state.vb).astype(jnp.float32))))
+    drift_sr = float(jnp.mean(jnp.abs(
+        (run(None, lr).vb - state.vb).astype(jnp.float32))))
+    # visible bias starts at 0 where bf16 ULP is tiny — use the weights,
+    # whose magnitude ~0.1 makes the increments sub-ULP
+    w_legacy = float(jnp.mean(jnp.abs(
+        (run(False, lr).w - state.w).astype(jnp.float32))))
+    w_sr = float(jnp.mean(jnp.abs(
+        (run(None, lr).w - state.w).astype(jnp.float32))))
+    assert w_sr > 5 * max(w_legacy, 1e-9), (w_legacy, w_sr, drift_legacy,
+                                            drift_sr)
+
+
+def test_bf16_sr_dtype_and_fused_epoch():
+    """Auto-SR keeps the storage dtype through cd_update, pcd_update and
+    the fused epoch/block paths (no f32 leakage into the scan carry)."""
+    state = rbm_ops.init_rbm_state(jax.random.key(0), 64, 32,
+                                   dtype=jnp.bfloat16)
+    data = _bars_data()
+    new_state, loss = rbm_ops.cd_update(state, jax.random.key(1), data,
+                                        lr=0.1, mom=0.5, weight_decay=1e-4,
+                                        cd=1)
+    for arr in new_state:
+        assert arr.dtype == jnp.bfloat16
+    assert loss.dtype == jnp.float32
+    chains = rbm_ops.init_pcd_chains(jax.random.key(2), data.shape[0], 64,
+                                     dtype=jnp.bfloat16)
+    ps, pc, pl = rbm_ops.pcd_update(state, chains, jax.random.key(3), data,
+                                    lr=0.1, mom=0.5, weight_decay=1e-4,
+                                    cd=1)
+    for arr in ps:
+        assert arr.dtype == jnp.bfloat16
+    states, sums, counts = dbn_train.idbn_epoch_block(
+        (state,), jax.random.key(4), data,
+        jnp.arange(2, dtype=jnp.int32), jnp.full((2,), 0.1, jnp.float32),
+        jnp.full((2,), 0.5, jnp.float32), 1e-4, 0.1, cd=1,
+        sparsity_flags=(False,), batch_size=32, n_epochs=2)
+    for arr in states[0]:
+        assert arr.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(sums)).all()
