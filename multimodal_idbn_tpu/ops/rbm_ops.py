@@ -588,7 +588,8 @@ def clamped_cd_update(state: RBMState, key: Array, v_known: Array,
                       reclamp_negative: bool = True,
                       aux_lr_mult: float = 0.3, use_noisy_init: bool = True,
                       mu_k: Optional[Array] = None, eta0: float = 0.15,
-                      groups: SoftmaxGroups = ()) -> Tuple[RBMState, Array]:
+                      groups: SoftmaxGroups = (),
+                      sr: Optional[bool] = None) -> Tuple[RBMState, Array]:
     """Auxiliary clamped-CD update (rbm.py:402-483, SURVEY.md §2.1(7)).
 
     Positive state from conditional inference (noisy mean-field by default,
@@ -610,8 +611,15 @@ def clamped_cd_update(state: RBMState, key: Array, v_known: Array,
             state, k_init, v_known, known_mask, n_steps=int(cond_init_steps),
             sample_h=sample_h, sample_v=sample_v, groups=groups)
 
+    # same auto-SR rule as cd_update (see stochastic_round)
+    sr_on = (state.w.dtype == jnp.bfloat16) if sr is None else bool(sr)
+
     h_plus = hidden_probs(state, v_plus)
-    pos_assoc = v_plus.T @ h_plus
+    if sr_on:  # f32-exact statistics ahead of the unbiased rounding
+        pos_assoc = jnp.matmul(v_plus.T, h_plus,
+                               preferred_element_type=jnp.float32)
+    else:
+        pos_assoc = v_plus.T @ h_plus
 
     keys = jax.random.split(k_neg, max(1, int(cd)))
     kv_kh = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
@@ -634,19 +642,24 @@ def clamped_cd_update(state: RBMState, key: Array, v_known: Array,
         v_neg, _ = jax.lax.scan(body, v_neg, kv_kh)
 
     h_neg = hidden_probs(state, v_neg)
-    neg_assoc = v_neg.T @ h_neg
-
-    scaled = aux_lr_mult * lr
-    dt = state.w.dtype  # pin storage dtype (identity for f32)
-    w_m = (mom * state.w_m + scaled * ((pos_assoc - neg_assoc) / bsz
-                                       - weight_decay * state.w)).astype(dt)
-    w = (state.w + w_m).astype(dt)
-    hb_m = (mom * state.hb_m
-            + scaled * (h_plus.sum(0) - h_neg.sum(0)) / bsz).astype(dt)
-    hb = (state.hb + hb_m).astype(dt)
-    vb_m = (mom * state.vb_m
-            + scaled * (v_plus.sum(0) - v_neg.sum(0)) / bsz).astype(dt)
-    vb = (state.vb + vb_m).astype(dt)
+    if sr_on:
+        f32 = jnp.float32
+        neg_assoc = jnp.matmul(v_neg.T, h_neg, preferred_element_type=f32)
+        h_plus_sum, h_neg_sum = h_plus.astype(f32).sum(0), \
+            h_neg.astype(f32).sum(0)
+        v_plus_sum, v_neg_sum = v_plus.astype(f32).sum(0), \
+            v_neg.astype(f32).sum(0)
+    else:
+        neg_assoc = v_neg.T @ h_neg
+        h_plus_sum, h_neg_sum = h_plus.sum(0), h_neg.sum(0)
+        v_plus_sum, v_neg_sum = v_plus.sum(0), v_neg.sum(0)
 
     loss = jnp.mean(jnp.square((v_plus - v_neg).astype(jnp.float32)))
-    return RBMState(w, hb, vb, w_m, hb_m, vb_m), loss
+    # aux update = the standard momentum-then-apply epilogue with the
+    # scaled lr and no sparsity term (rbm.py:474-481)
+    new_state = _apply_update(
+        state, key, pos_assoc, neg_assoc, h_plus_sum, h_neg_sum,
+        None, v_plus_sum, v_neg_sum, lr=aux_lr_mult * lr, mom=mom,
+        weight_decay=weight_decay, bsz=bsz, sparsity=False,
+        sparsity_factor=0.0, sr_on=sr_on)
+    return new_state, loss

@@ -208,3 +208,33 @@ def test_bf16_sr_dtype_and_fused_epoch():
     for arr in states[0]:
         assert arr.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(sums)).all()
+
+
+def test_bf16_sr_clamped_update_dtype_and_accumulation():
+    """clamped_cd_update (the joint/aux trainer) routes through the same
+    SR epilogue: bf16 state preserved, tiny scaled updates accumulate."""
+    Dz, K = 24, 4
+    state = rbm_ops.init_rbm_state(jax.random.key(0), Dz + K, 16,
+                                   dtype=jnp.bfloat16)
+    # clamp inputs stay f32 like every caller passes them (the annealed
+    # chain's f32 schedule arrays promote the carry); only the STATE is
+    # reduced-precision
+    v = jnp.zeros((32, Dz + K), jnp.float32).at[:, Dz].set(1.0)
+    mask = jnp.zeros((Dz + K,), jnp.float32).at[Dz:].set(1.0)
+
+    new_state, loss = rbm_ops.clamped_cd_update(
+        state, jax.random.key(1), v, mask, lr=0.1, mom=0.5,
+        weight_decay=1e-4, cd=1, cond_init_steps=5)
+    for arr in new_state:
+        assert arr.dtype == jnp.bfloat16
+    assert np.isfinite(float(loss))
+
+    def drift(sr, lr=1e-4, steps=40):
+        s = state
+        for t in range(steps):
+            s, _ = rbm_ops.clamped_cd_update(
+                s, jax.random.key(50 + t), v, mask, lr=lr, mom=0.0,
+                weight_decay=0.0, cd=1, cond_init_steps=5, sr=sr)
+        return float(jnp.mean(jnp.abs((s.w - state.w).astype(jnp.float32))))
+
+    assert drift(None) > 5 * max(drift(False), 1e-9)
