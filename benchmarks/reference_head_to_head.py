@@ -280,6 +280,8 @@ def run_ours(s, seed, data_path, tpu=False, init_retry=0,
                   params=make_params(s, seed), dataloader=train_loader,
                   val_loader=val_loader, num_labels=d["train_y"].shape[1],
                   seed=seed)
+    log(f"[h2h ours seed {seed}] image phase start "
+        f"({s['epochs_img']} epochs CD-{s['cd']})")
     t0 = time.time()
     if init_retry:
         retries = model.image_idbn.train_with_retry(
@@ -289,6 +291,8 @@ def run_ours(s, seed, data_path, tpu=False, init_retry=0,
     else:
         model.image_idbn.train(epochs=s["epochs_img"])
     t_img = time.time() - t0
+    log(f"[h2h ours seed {seed}] image phase done in {t_img:.0f}s; "
+        f"joint phase start ({s['epochs_joint']} epochs)")
     model.train_joint(epochs=s["epochs_joint"])
     t_all = time.time() - t0
     log(f"[h2h ours seed {seed}] trained in {t_all:.0f}s (img {t_img:.0f}s)")
