@@ -243,7 +243,7 @@ def run_reference(s, seed, data_path):
 # --------------------------------------------------------------------------
 
 def run_ours(s, seed, data_path, tpu=False, init_retry=0,
-             matmul_precision=None):
+             matmul_precision=None, ckpt_dir=None):
     import jax
     if not tpu:
         jax.config.update("jax_platforms", "cpu")  # before backend init
@@ -280,20 +280,58 @@ def run_ours(s, seed, data_path, tpu=False, init_retry=0,
                   params=make_params(s, seed), dataloader=train_loader,
                   val_loader=val_loader, num_labels=d["train_y"].shape[1],
                   seed=seed)
+    # Crash-safe resume (ckpt_dir set by the driver for TPU seeds): the
+    # axon tunnel's backend connection drops every ~25 min of sustained
+    # occupancy and reconnects unreliably, so long (highest-precision)
+    # seeds checkpoint every few epochs and the driver relaunches a
+    # crashed subprocess — the run resumes bit-identically
+    # (checkpoint/__init__.py; the resume-parity tests are the proof).
+    image_start = joint_start = 0
+    image_done = False
+    img_kw, joint_kw = {}, {}
+    if ckpt_dir:
+        from pathlib import Path
+
+        from multimodal_idbn_tpu.checkpoint import (
+            load_train_checkpoint_expecting)
+        ckd = Path(ckpt_dir)
+        ckd.mkdir(parents=True, exist_ok=True)
+        img_ck, joint_ck = ckd / "image.ckpt.npz", ckd / "joint.ckpt.npz"
+        if joint_ck.exists():
+            joint_start = load_train_checkpoint_expecting(
+                model, joint_ck, "joint")
+            image_done = True
+            log(f"[h2h ours seed {seed}] resuming joint at epoch "
+                f"{joint_start}")
+        elif img_ck.exists():
+            image_start = load_train_checkpoint_expecting(
+                model.image_idbn, img_ck, "image")
+            image_done = image_start >= int(s["epochs_img"])
+            log(f"[h2h ours seed {seed}] resuming image at epoch "
+                f"{image_start}")
+        img_kw = {"checkpoint_every": 10, "checkpoint_path": str(img_ck)}
+        joint_kw = {"checkpoint_every": 15,
+                    "checkpoint_path": str(joint_ck)}
+
     log(f"[h2h ours seed {seed}] image phase start "
         f"({s['epochs_img']} epochs CD-{s['cd']})")
     t0 = time.time()
-    if init_retry:
+    if image_done:
+        pass  # restored past the image phase
+    elif init_retry:
         retries = model.image_idbn.train_with_retry(
-            epochs=s["epochs_img"], max_retries=init_retry)
+            epochs=s["epochs_img"], max_retries=init_retry,
+            start_epoch=image_start, **img_kw)
         log(f"[h2h ours seed {seed}] init_retry={init_retry}: "
             f"{retries} retries used")
     else:
-        model.image_idbn.train(epochs=s["epochs_img"])
+        model.image_idbn.train(epochs=s["epochs_img"],
+                               start_epoch=image_start, **img_kw)
     t_img = time.time() - t0
     log(f"[h2h ours seed {seed}] image phase done in {t_img:.0f}s; "
         f"joint phase start ({s['epochs_joint']} epochs)")
-    model.train_joint(epochs=s["epochs_joint"])
+    model.train_joint(epochs=s["epochs_joint"], start_epoch=joint_start,
+                      **joint_kw)
     t_all = time.time() - t0
     log(f"[h2h ours seed {seed}] trained in {t_all:.0f}s (img {t_img:.0f}s)")
 
@@ -345,7 +383,10 @@ def _spawn(role, seed, data_path, preset, outdir, tpu=False,
     if preset:
         args.append(preset)
     if tpu:
-        args.append("--tpu")
+        # TPU seeds checkpoint + resume so a dropped axon connection
+        # costs a relaunch, not the seed
+        args += ["--tpu", "--ckpt-dir",
+                 os.path.join(outdir, f"ckpt_ours_{seed}")]
     if init_retry and role == "ours":
         args += ["--init-retry", str(init_retry)]
     if matmul_precision and role == "ours":
@@ -396,6 +437,13 @@ def main():
                     help="(ours side) jax_default_matmul_precision; "
                          "'highest' = true-f32 GEMMs matching the torch "
                          "reference (TPU default is bf16-input f32)")
+    ap.add_argument("--ckpt-dir", default=None,
+                    help="(ours role) crash-safe resume checkpoints here "
+                         "(the driver sets this for TPU seeds; the axon "
+                         "backend connection drops ~every 25 min)")
+    ap.add_argument("--seed-retries", type=int, default=8,
+                    help="driver: relaunch a failed ours-TPU seed up to "
+                         "this many times (resumes from its checkpoint)")
     ap.add_argument("--out", default=None,
                     help="driver: write the (partial) results JSON here "
                          "after EVERY completed seed, so long background "
@@ -411,7 +459,8 @@ def main():
             print(json.dumps(run_ours(
                 s, args.seed, args.data, tpu=args.tpu,
                 init_retry=args.init_retry,
-                matmul_precision=args.matmul_precision)))
+                matmul_precision=args.matmul_precision,
+                ckpt_dir=args.ckpt_dir)))
         return
 
     import tempfile
@@ -423,6 +472,7 @@ def main():
               else "--quick" if args.quick else None)
     jobs = [(role, seed) for seed in args.seeds for role in args.roles]
     results = {"ref": {}, "ours": {}}
+    attempts = {}
     pending = list(jobs)
     running = []
     tpu_running = [False]  # at most one TPU process at a time
@@ -457,6 +507,15 @@ def main():
                     tpu_running[0] = False
                 out = proc.stdout.read().strip()
                 if proc.returncode != 0 or not out:
+                    att = attempts.get((role, seed), 0) + 1
+                    attempts[(role, seed)] = att
+                    if is_tpu(role) and att <= args.seed_retries:
+                        log(f"[h2h] {role} seed {seed} died rc="
+                            f"{proc.returncode} (attempt {att}/"
+                            f"{args.seed_retries}) — relaunching from "
+                            f"its checkpoint")
+                        pending.append((role, seed))
+                        continue
                     log(f"[h2h] {role} seed {seed} FAILED rc="
                         f"{proc.returncode} (log in {outdir})")
                     results[role][seed] = None
