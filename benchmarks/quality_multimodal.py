@@ -34,6 +34,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="reduced epochs for smoke runs")
+    ap.add_argument("--ckpt-dir", default=None,
+                    help="crash-safe resume dir: checkpoint every few "
+                         "epochs and resume a relaunched run "
+                         "bit-identically (the axon terminal drops "
+                         "connections ~every 25 min; CLAUDE.md)")
     ap.add_argument("--matmul-precision", default="highest",
                     choices=["default", "high", "highest"],
                     help="XLA f32 matmul precision; 'highest' = true-f32 "
@@ -108,15 +113,42 @@ def main():
         model.reference_best_of_k_bug = False
         log("[quality] real best-of-K free-energy selection ENABLED")
 
+    image_start = joint_start = 0
+    image_done = False
+    img_kw, joint_kw = {}, {}
+    if args.ckpt_dir:
+        from multimodal_idbn_tpu.checkpoint import (
+            load_train_checkpoint_expecting)
+        ckd = Path(args.ckpt_dir)
+        ckd.mkdir(parents=True, exist_ok=True)
+        img_ck, joint_ck = ckd / "image.ckpt.npz", ckd / "joint.ckpt.npz"
+        if joint_ck.exists():
+            joint_start = load_train_checkpoint_expecting(
+                model, joint_ck, "joint")
+            image_done = True
+            log(f"[quality] resuming joint at epoch {joint_start}")
+        elif img_ck.exists():
+            image_start = load_train_checkpoint_expecting(
+                model.image_idbn, img_ck, "image")
+            image_done = image_start >= epochs_img
+            log(f"[quality] resuming image at epoch {image_start}")
+        img_kw = {"checkpoint_every": 10, "checkpoint_path": str(img_ck)}
+        joint_kw = {"checkpoint_every": 15,
+                    "checkpoint_path": str(joint_ck)}
+
     log(f"[quality] training image iDBN ({epochs_img} epochs, CD=10)...")
     t0 = time.time()
     retries = 0
-    if args.init_retry:
+    if image_done:
+        pass  # restored past the image phase
+    elif args.init_retry:
         retries = model.image_idbn.train_with_retry(
-            epochs=epochs_img, log_every_pca=10**9, log_every_probe=10**9)
+            epochs=epochs_img, log_every_pca=10**9, log_every_probe=10**9,
+            start_epoch=image_start, **img_kw)
     else:
         model.image_idbn.train(epochs=epochs_img, log_every_pca=10**9,
-                               log_every_probe=10**9)
+                               log_every_probe=10**9,
+                               start_epoch=image_start, **img_kw)
     t_img = time.time() - t0
     log(f"[quality] image iDBN: {t_img:.1f}s "
         f"(final loss {model.image_idbn.loss_history[-1]:.4f})")
@@ -132,7 +164,8 @@ def main():
         f"cross_steps=50)...")
     t0 = time.time()
     model.train_joint(epochs=epochs_joint, log_every=10**9,
-                      log_every_pca=10**9, log_every_probe=10**9)
+                      log_every_pca=10**9, log_every_probe=10**9,
+                      start_epoch=joint_start, **joint_kw)
     t_joint = time.time() - t0
     log(f"[quality] joint: {t_joint:.1f}s | last-epoch metrics: "
         f"{model.last_metrics}")
