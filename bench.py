@@ -321,20 +321,20 @@ def bench_torch_cpu():
         return v
 
     one_batch(0)  # warm caches
-    # Min over per-batch timings: the minimum is the contention-robust
-    # estimator of the uncontended batch time (other host jobs can only
-    # ADD time to a sample, never remove it) — VERDICT r3 weak #3.
+    # MEAN per-batch matches the pinned calibration's protocol (it was
+    # measured as a mean in round 2), so the drift ratio compares like
+    # with like; the min is logged as the contention-robust floor.
     n_timed = 4
     per_batch_times = []
     for b in range(1, 1 + n_timed):
         t0 = time.perf_counter()
         one_batch(b)
         per_batch_times.append(time.perf_counter() - t0)
-    per_batch = min(per_batch_times)
+    per_batch = sum(per_batch_times) / n_timed
     epoch_s = per_batch * nb
-    log(f"[bench] torch-CPU per-batch {per_batch * 1000:.0f} ms min "
-        f"(spread {min(per_batch_times) * 1000:.0f}-"
-        f"{max(per_batch_times) * 1000:.0f}) -> "
+    log(f"[bench] torch-CPU per-batch {per_batch * 1000:.0f} ms mean "
+        f"(min {min(per_batch_times) * 1000:.0f}, "
+        f"max {max(per_batch_times) * 1000:.0f}) -> "
         f"epoch {epoch_s:.2f}s ({nb} batches)")
     return epoch_s
 

@@ -150,8 +150,13 @@ def main():
                                log_every_probe=10**9,
                                start_epoch=image_start, **img_kw)
     t_img = time.time() - t0
-    log(f"[quality] image iDBN: {t_img:.1f}s "
-        f"(final loss {model.image_idbn.loss_history[-1]:.4f})")
+    # loss_history is empty when a joint-phase checkpoint restored the
+    # run past the image phase (joint checkpoints don't carry the image
+    # stack's history)
+    idbn_final_loss = (float(model.image_idbn.loss_history[-1])
+                       if model.image_idbn.loss_history else None)
+    log(f"[quality] image iDBN: {t_img:.1f}s (final loss "
+        f"{idbn_final_loss if idbn_final_loss is not None else 'restored'})")
 
     # auto-recon MSE on the val batch (reference idbn.py:236)
     vb = model.image_idbn.val_batch
@@ -218,7 +223,7 @@ def main():
                   + (f" (lr={args.lr})" if args.lr != 0.1 else ""),
         "epochs_img": epochs_img,
         "epochs_joint": epochs_joint,
-        "idbn_final_loss": model.image_idbn.loss_history[-1],
+        "idbn_final_loss": idbn_final_loss,
         "idbn_auto_recon_mse": auto_recon_mse,
         "image_train_seconds": round(t_img, 1),
         "joint_train_seconds": round(t_joint, 1),

@@ -391,12 +391,16 @@ def _spawn(role, seed, data_path, preset, outdir, tpu=False,
         args += ["--init-retry", str(init_retry)]
     if matmul_precision and role == "ours":
         args += ["--matmul-precision", matmul_precision]
-    out = open(os.path.join(outdir, f"{role}_{seed}.log"), "w")
+    # append mode: a relaunched seed (--seed-retries) must not destroy
+    # the previous attempt's crash log
+    out = open(os.path.join(outdir, f"{role}_{seed}.log"), "a")
     env = dict(os.environ, JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache")
     if not tpu:
         env["JAX_PLATFORMS"] = "cpu"
-    return subprocess.Popen(args, stdout=subprocess.PIPE, stderr=out,
+    proc = subprocess.Popen(args, stdout=subprocess.PIPE, stderr=out,
                             cwd=outdir, env=env, text=True)
+    out.close()  # the child holds its own dup; don't leak ours
+    return proc
 
 
 def summarize(vals):

@@ -221,7 +221,12 @@ def config_fingerprint(params: Dict, **extra_fields) -> str:
     are excluded; ``extra_fields`` carries architecture (layer lists,
     num_labels) that lives outside the params dict.
     """
-    skip = {"CHECKPOINT_EVERY"}
+    # cadence/placement knobs that do NOT change the trained result:
+    # checkpoint cadence, metrics-logging cadence, and the data-parallel
+    # device count (1-vs-N weight parity is asserted by the dryrun and
+    # tests/test_parallel_shell.py), so changing them across a resume is
+    # legitimate and must not refuse.
+    skip = {"CHECKPOINT_EVERY", "CROSS_METRICS_EVERY", "DP_DEVICES"}
     payload = {k: v for k, v in params.items() if k not in skip}
     payload.update(extra_fields)
     return json.dumps(payload, sort_keys=True, default=str)

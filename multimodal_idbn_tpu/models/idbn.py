@@ -157,11 +157,19 @@ class iDBN:
 
     def _fast_sampler(self) -> bool:
         """Opt-in Pallas sampled-CD (config.enable_pallas_cd): TPU-only,
-        groupless (always true for image stacks), not combined with PCD
-        or mixed precision (each changes semantics on its own)."""
+        groupless (always true for image stacks), not combined with PCD,
+        mixed precision, or bf16 storage (the Pallas epilogue lacks the
+        stochastic-rounding updates bf16 storage needs — its
+        nearest-rounded updates are the measured quality collapse, see
+        ops/rbm_ops.stochastic_round)."""
         from multimodal_idbn_tpu import config as _config
         if not _config.pallas_cd_enabled() or self.use_pcd \
                 or self.compute_dtype is not None or self.mesh is not None:
+            return False
+        if any(r.state.w.dtype == jnp.bfloat16 for r in self.layers):
+            print("[iDBN] pallas_cd disabled for bfloat16 storage "
+                  "(no stochastic-rounding epilogue in the Pallas "
+                  "kernel); using the jnp CD path")
             return False
         from multimodal_idbn_tpu.ops import pallas_kernels
         return pallas_kernels.sampled_cd_supported()
@@ -518,16 +526,25 @@ class iDBN:
         try:
             self.train(epochs, start_epoch=start_epoch, **train_kw)
             retries = 0
-            while retries < int(max_retries) and collapsed():
+            still_collapsed = collapsed()
+            while retries < int(max_retries) and still_collapsed:
                 retries += 1
                 print(f"[iDBN] recon at blank level — reinit (retry "
                       f"{retries}/{max_retries})")
                 self.reinit_layers(seed_offset=7919 * retries)
                 self.train(epochs, **train_kw)
+                still_collapsed = collapsed()
         finally:
             self._suppress_collapse_warn = False
-        if collapsed():  # out of retries and still blank: say so
-            self._warn_if_collapsed(recon_margin)
+        if still_collapsed:  # out of retries and still blank: say so
+            print(f"[iDBN] warn/idbn_blank_recon: still at blank-level "
+                  f"reconstruction after {retries} reinit "
+                  f"retr{'y' if retries == 1 else 'ies'} — this dataset/"
+                  f"schedule/seed combination may need a different "
+                  f"learning rate or architecture.")
+            if self.wandb_run is not None:
+                self.wandb_run.log(
+                    {"warn/idbn_blank_recon": self._recon_collapse_ratio()})
         return retries
 
     def _log_epoch(self, epoch: int, mean_loss: float, log_every_pca: int,

@@ -238,7 +238,11 @@ def main():
         params,
         mod1_layers=model.get("mod1_layers", [10000, 1500, 500]),
         mod2_layers=model.get("mod2_layers", [1568, 500, 500]),
-        joint_layers=joint_hidden)
+        joint_layers=joint_hidden,
+        # numerics knob: see train_multimodal.py — precision edits must
+        # not silently resume
+        matmul_precision=str(cfg.get("training", {}).get(
+            "matmul_precision", "highest")))
     for _m in (bimodal, bimodal.mod1_dbn, bimodal.mod2_dbn):
         _m._ckpt_fingerprint = fp
     ignore_cfg = bool(cfg.get("training", {}).get(

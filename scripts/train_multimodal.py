@@ -193,7 +193,11 @@ def main():
         params,
         image_layers=model.get("image_layers", [10000, 1500, 1500]),
         joint_hidden=model.get("joint_hidden", 1000),
-        num_labels=model.get("num_labels", 32))
+        num_labels=model.get("num_labels", 32),
+        # numerics knob: resuming f32-GEMM checkpoints under bf16-input
+        # GEMMs (or vice versa) mixes precisions mid-run — refuse
+        matmul_precision=str(cfg.get("training", {}).get(
+            "matmul_precision", "highest")))
     imdbn._ckpt_fingerprint = fp
     imdbn.image_idbn._ckpt_fingerprint = fp
     ignore_cfg = bool(cfg.get("training", {}).get(
