@@ -34,7 +34,11 @@ if not _ON_TPU:
 
 jax.config.update("jax_threefry_partitionable", True)
 # Persistent compilation cache: chain ops compile once across test runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# Tests get their OWN cache dir: /tmp/jax_cache is shared with long TPU
+# jobs whose processes sometimes die mid-write (axon drops), and a
+# truncated entry aborts the whole pytest process inside
+# compilation_cache.get_executable_and_time (observed r4).
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # Full-precision f32 matmuls so golden tests compare against the NumPy
 # oracle exactly; production TPU runs use the faster default precision.
