@@ -6,6 +6,13 @@ claims must be statistical, not eyeballed ranges).
 Usage: python benchmarks/merge_h2h.py A.json B.json [--out merged.json]
 Prints the combined JSON on stdout; a markdown table on stderr.
 
+A file argument may carry a role suffix — ``A.json:ref`` takes only the
+reference side of that file (``:ours`` likewise). This lets a final
+comparison draw its ref side from one set of runs and its ours side from
+a fresh rerun whose seed numbers overlap files that also carry stale
+ours entries (e.g. re-running all ours seeds at a different matmul
+precision while keeping the accumulated reference seeds).
+
 Per metric with samples on both sides, the summary carries:
 - Mann-Whitney U two-sided p-value (scipy.stats.mannwhitneyu, exact
   method at these sample sizes) — p > 0.05 means the seed distributions
@@ -58,21 +65,28 @@ def main():
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
-    merged = {"ref": {}, "ours": {}, "seeds": [], "schedule": None}
-    for path in args.files:
+    merged = {"ref": {}, "ours": {}, "seeds": {}, "schedule": None}
+    for spec in args.files:
+        path, _, role_filter = spec.rpartition(":")
+        if role_filter in ("ref", "ours") and path:
+            roles = (role_filter,)
+        else:
+            path, roles = spec, ("ref", "ours")
         d = json.load(open(path))
         if merged["schedule"] is None:
             merged["schedule"] = d.get("schedule")
-        merged["seeds"] += list(d.get("seeds", []))
-        for role in ("ref", "ours"):
+        for role in roles:
             # dict.update would silently overwrite an overlapping seed
             # while the seeds list double-counts it — refuse instead
             dup = set(merged[role]) & set(d.get(role, {}))
             if dup:
                 sys.exit(f"error: {path} repeats {role} seed(s) "
                          f"{sorted(dup)} already merged from an earlier "
-                         f"file — merge inputs must have disjoint seeds")
+                         f"file — merge inputs must have disjoint seeds "
+                         f"(or use path:ref / path:ours to pick a side)")
             merged[role].update(d.get(role, {}))
+    merged["seeds"] = {role: sorted(merged[role], key=lambda s: int(s))
+                       for role in ("ref", "ours")}
 
     metrics = sorted({k for role in ("ref", "ours")
                       for r in merged[role].values() if r

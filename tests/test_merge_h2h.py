@@ -59,3 +59,28 @@ def test_merge_cli_merges_and_reports(tmp_path):
         [sys.executable, str(REPO / "benchmarks" / "merge_h2h.py"),
          str(f1), str(f1)], capture_output=True, text=True)
     assert out2.returncode != 0
+
+
+def test_merge_cli_role_filter(tmp_path):
+    """path:ref / path:ours take one side of a file, so a fresh ours
+    rerun with overlapping seed numbers can replace stale entries."""
+    old = {"schedule": {"x": 1}, "seeds": [0, 1],
+           "ref": {"0": {"top1": 0.5}, "1": {"top1": 0.6}},
+           "ours": {"0": {"top1": 0.1}, "1": {"top1": 0.2}}}  # stale
+    new = {"schedule": {"x": 1}, "seeds": [0, 1],
+           "ref": {}, "ours": {"0": {"top1": 0.55}, "1": {"top1": 0.62}}}
+    f1, f2 = tmp_path / "old.json", tmp_path / "new.json"
+    f1.write_text(json.dumps(old)); f2.write_text(json.dumps(new))
+    out = subprocess.run(
+        [sys.executable, str(REPO / "benchmarks" / "merge_h2h.py"),
+         f"{f1}:ref", f"{f2}:ours"], capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr
+    merged = json.loads(out.stdout)
+    assert merged["ours"]["0"]["top1"] == 0.55  # from new, not stale
+    assert merged["ref"]["0"]["top1"] == 0.5
+    assert merged["seeds"] == {"ref": ["0", "1"], "ours": ["0", "1"]}
+    # without the filter the same pair must refuse (overlapping ours)
+    out2 = subprocess.run(
+        [sys.executable, str(REPO / "benchmarks" / "merge_h2h.py"),
+         str(f1), str(f2)], capture_output=True, text=True)
+    assert out2.returncode != 0
