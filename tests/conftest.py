@@ -25,7 +25,32 @@ if not _ON_TPU:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Quarantine the test cache if a previous pytest session died mid-run:
+# a process killed mid-write leaves a truncated cache entry that ABORTS
+# (uncatchable Fatal Python error in compilation_cache
+# .get_executable_and_time) the next reader. The marker is written at
+# session start and removed at clean session end, so its presence means
+# the last session was killed and the cache may hold a torn entry.
+# (Cost of a false positive — a session killed outside a write — is one
+# cold-cache rebuild. Two concurrent pytest sessions would false-trigger
+# this; CLAUDE.md already forbids those for memory-pressure reasons.)
+import pathlib  # noqa: E402
+
+_TEST_CACHE = pathlib.Path("/tmp/jax_cache_tests")
+_INFLIGHT_MARK = _TEST_CACHE / ".pytest_inflight"
+if _INFLIGHT_MARK.exists():
+    _TEST_CACHE.rename(
+        f"/tmp/jax_cache_tests.quarantined.{os.getpid()}")
+_TEST_CACHE.mkdir(parents=True, exist_ok=True)
+_INFLIGHT_MARK.write_text(str(os.getpid()))
+
+
+def pytest_sessionfinish(session, exitstatus):
+    _INFLIGHT_MARK.unlink(missing_ok=True)
+
+
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 # The environment's axon bootstrap rewrites jax_platforms to "axon,cpu"
 # even when JAX_PLATFORMS=cpu is set; force CPU before backend init.
@@ -41,5 +66,23 @@ jax.config.update("jax_threefry_partitionable", True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # Full-precision f32 matmuls so golden tests compare against the NumPy
-# oracle exactly; production TPU runs use the faster default precision.
+# oracle exactly; production training CLIs pin "highest" too (config
+# .set_matmul_precision default) — only bench.py's headline number stays
+# at the faster XLA default precision.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_live_executables_per_module():
+    """Clear jit caches at every module teardown.
+
+    Too many live compiled executables in one CPU pytest process make a
+    LATER unrelated compile SEGFAULT inside backend_compile_and_load
+    (r4: 3/3 full-suite runs died in test_fuzz_configs, which passes in
+    isolation — the accumulation from the ~9 modules before it crossed
+    the cliff). Per-module clear_caches bounds the live-executable count
+    by the heaviest single module instead of the whole suite; persistent
+    cache hits (/tmp/jax_cache_tests) keep the re-compiles cheap.
+    """
+    yield
+    jax.clear_caches()
