@@ -17,6 +17,8 @@ Extra diagnostics go to stderr; stdout carries only the JSON line.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -352,20 +354,61 @@ def bench_gibbs_chains():
     return stats
 
 
+def probe_backend(attempts=None, probe_timeout=None):
+    """Return True iff JAX backend init succeeds in a FRESH bounded
+    subprocess.
+
+    When the axon terminal is down, ``jax.devices()`` hangs ~25 min and
+    then raises — and a process whose backend init failed once is
+    poisoned (CLAUDE.md: poll for recovery with a fresh process per
+    attempt). BENCH_r04 was lost to exactly this: an unguarded
+    ``jax.devices()`` killed the whole bench with no JSON line. The
+    probe keeps each attempt bounded and the parent process clean.
+    """
+    attempts = attempts or int(os.environ.get("BENCH_PROBE_ATTEMPTS", 3))
+    probe_timeout = probe_timeout or int(
+        os.environ.get("BENCH_PROBE_TIMEOUT_S", 300))
+    for i in range(attempts):
+        t0 = time.perf_counter()
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL).returncode
+        except subprocess.TimeoutExpired:
+            rc = "timeout"
+        dt = time.perf_counter() - t0
+        log(f"[bench] backend probe {i + 1}/{attempts}: "
+            f"{'ok' if rc == 0 else rc} in {dt:.0f}s")
+        if rc == 0:
+            return True
+    return False
+
+
 def main():
-    from multimodal_idbn_tpu.config import (
-        enable_persistent_compilation_cache)
-    enable_persistent_compilation_cache()
-    # Primary metric first: a missing/broken torch must not prevent the
-    # JSON line (torch is the optional baseline denominator, not a dep).
-    jax_epoch, extras = bench_jax()
+    # Orchestrator layout (VERDICT r4 weak #1): this process NEVER
+    # touches the TPU backend itself. The torch-CPU denominator (no TPU
+    # needed) is measured first so it survives any outage; the JAX side
+    # runs in a bounded child (``bench.py --jax-only``) after a fresh-
+    # subprocess backend probe. Every exit path prints one JSON line.
+    if "--jax-only" in sys.argv:
+        from multimodal_idbn_tpu.config import (
+            enable_persistent_compilation_cache)
+        enable_persistent_compilation_cache()
+        jax_epoch, extras = bench_jax()
+        try:
+            extras["gibbs"] = bench_gibbs_chains()
+        except Exception as exc:  # pragma: no cover - secondary metric
+            log(f"[bench] gibbs-chain metric unavailable: {exc}")
+        print(json.dumps({"jax_epoch": jax_epoch, "extras": extras}))
+        return
+
     # vs_baseline uses a PINNED calibrated denominator (measured once on
     # an idle host, benchmarks/torch_cpu_calibration.json) so it is a
     # regression signal, not host-contention noise: round 2 vs round 3
     # measured 13.6 s vs 31.6 s for identical torch code purely from CPU
     # contention (VERDICT r3 weak #3). The live reading is still taken
     # and reported as drift.
-    import os
     calib_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "benchmarks", "torch_cpu_calibration.json")
     try:
@@ -374,6 +417,11 @@ def main():
         log(f"[bench] calibration file unavailable ({e}); "
             f"falling back to the live torch reading")
         calib = None
+
+    # Torch denominator FIRST — it needs no TPU, so an axon outage must
+    # not cost it (BENCH_r04 lost it along with everything else).
+    extras = {}
+    torch_epoch = None
     try:
         torch_epoch = bench_torch_cpu()
         if calib is not None:
@@ -388,20 +436,55 @@ def main():
                 log(f"[bench] NOTE: live torch epoch {torch_epoch:.1f}s "
                     f"beats the calibration {calib:.1f}s — consider "
                     f"updating {calib_path}")
-        vs_baseline = round((calib if calib is not None else torch_epoch)
-                            / jax_epoch, 2)
     except Exception as e:  # pragma: no cover - env-dependent
         log(f"[bench] torch-CPU baseline unavailable: {e}")
-        vs_baseline = (round(calib / jax_epoch, 2)
-                       if calib is not None else None)
-    bench_gibbs_chains()
+
     result = {
         "metric": "idbn_cd1_epoch_time_10000-1500-500_b128",
-        "value": round(jax_epoch, 5),
+        "value": None,
         "unit": "s",
-        "vs_baseline": vs_baseline,
+        "vs_baseline": None,
         **extras,
     }
+
+    jax_payload = None
+    if os.environ.get("BENCH_SIMULATE_OUTAGE") == "1":
+        log("[bench] BENCH_SIMULATE_OUTAGE=1 — skipping probe, "
+            "emitting the outage line")
+        result["error"] = "tpu_unavailable"
+    elif not probe_backend():
+        log("[bench] backend unavailable after all probe attempts — "
+            "emitting the outage line (torch denominator preserved)")
+        result["error"] = "tpu_unavailable"
+    else:
+        # The JAX side runs in a bounded child so even a mid-run axon
+        # drop (observed r4: connection lost after ~25 min of sustained
+        # occupancy) still ends with a parseable line from this parent.
+        budget = int(os.environ.get("BENCH_JAX_TIMEOUT_S", 2400))
+        try:
+            child = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--jax-only"],
+                timeout=budget, stdout=subprocess.PIPE, text=True)
+            if child.returncode == 0 and child.stdout.strip():
+                jax_payload = json.loads(
+                    child.stdout.strip().splitlines()[-1])
+            else:
+                result["error"] = (f"jax_bench_failed_rc"
+                                   f"{child.returncode}")
+        except subprocess.TimeoutExpired:
+            log(f"[bench] JAX child exceeded {budget}s — killed")
+            result["error"] = "jax_bench_timeout"
+        except Exception as e:  # pragma: no cover - defensive
+            result["error"] = f"jax_bench_error: {e}"
+
+    if jax_payload is not None:
+        jax_epoch = jax_payload["jax_epoch"]
+        result["value"] = round(jax_epoch, 5)
+        denom = calib if calib is not None else torch_epoch
+        if denom is not None:
+            result["vs_baseline"] = round(denom / jax_epoch, 2)
+        result.update(jax_payload["extras"])
+        result.update(extras)  # torch provenance wins over child copies
     print(json.dumps(result))
 
 
