@@ -85,7 +85,12 @@ def main():
                          f"file — merge inputs must have disjoint seeds "
                          f"(or use path:ref / path:ours to pick a side)")
             merged[role].update(d.get(role, {}))
-    merged["seeds"] = {role: sorted(merged[role], key=lambda s: int(s))
+    # Only seeds with a RESULT: null entries (failed runs) would make
+    # the seeds summary overstate usable sample counts vs stats
+    # n_ref/n_ours (r4 advisor finding).
+    merged["seeds"] = {role: sorted((s for s, r in merged[role].items()
+                                     if r is not None),
+                                    key=lambda s: int(s))
                        for role in ("ref", "ours")}
 
     metrics = sorted({k for role in ("ref", "ours")

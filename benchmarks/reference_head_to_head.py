@@ -513,12 +513,29 @@ def main():
                 if proc.returncode != 0 or not out:
                     att = attempts.get((role, seed), 0) + 1
                     attempts[(role, seed)] = att
-                    if is_tpu(role) and att <= args.seed_retries:
+                    # TPU seeds get the full retry budget (axon drops
+                    # ~every 25 min; they resume from checkpoints). CPU
+                    # seeds get one relaunch too — a transient death
+                    # (OOM under contention) should not permanently
+                    # record None (r4 advisor finding).
+                    budget = (args.seed_retries if is_tpu(role) else
+                              min(1, args.seed_retries))
+                    if att <= budget:
                         log(f"[h2h] {role} seed {seed} died rc="
                             f"{proc.returncode} (attempt {att}/"
-                            f"{args.seed_retries}) — relaunching from "
-                            f"its checkpoint")
+                            f"{budget}) — relaunching"
+                            + (" from its checkpoint" if is_tpu(role)
+                               else ""))
                         pending.append((role, seed))
+                        if args.out:  # keep the partial fresh here too
+                            with open(args.out, "w") as f:
+                                json.dump(
+                                    {"schedule": s, "seeds": args.seeds,
+                                     "matmul_precision":
+                                         args.matmul_precision,
+                                     "partial": True,
+                                     "ref": results["ref"],
+                                     "ours": results["ours"]}, f)
                         continue
                     log(f"[h2h] {role} seed {seed} FAILED rc="
                         f"{proc.returncode} (log in {outdir})")

@@ -296,6 +296,11 @@ def load_train_checkpoint(model, path: str):
     extras = load_checkpoint(model, path)
     phase = bytes(extras["phase"]).decode()
     next_epoch = int(extras["next_epoch"])
+    # Drop any stale stash first: a previous load whose consumer raised
+    # (phase mismatch) or that was called directly would otherwise leak
+    # its fingerprint into THIS load of a pre-fingerprint checkpoint,
+    # producing a spurious config-mismatch refusal (r4 advisor finding).
+    model.__dict__.pop("_ckpt_loaded_fingerprint", None)
     if "config_fingerprint" in extras:
         # one-shot stash consumed by load_train_checkpoint_expecting
         model._ckpt_loaded_fingerprint = bytes(
@@ -418,12 +423,14 @@ def load_train_checkpoint_expecting(model, path, expected_phase: str,
     ``training.resume_ignore_config``) skips the fingerprint check for
     deliberate schedule changes (e.g. extending epochs)."""
     phase, next_epoch = load_train_checkpoint(model, str(path))
+    # Pop the one-shot stash BEFORE the phase check so a phase-mismatch
+    # raise cannot leave it behind for a later load to mis-consume.
+    loaded_fp = model.__dict__.pop("_ckpt_loaded_fingerprint", None)
     if phase != expected_phase:
         raise ValueError(
             f"checkpoint {str(path)!r} is a {phase!r}-phase checkpoint "
             f"but this run expected {expected_phase!r} — wrong "
             f"checkpoint_dir, or leftovers from a different config?")
-    loaded_fp = model.__dict__.pop("_ckpt_loaded_fingerprint", None)
     current_fp = getattr(model, "_ckpt_fingerprint", None)
     if (not ignore_config and loaded_fp and current_fp
             and loaded_fp != current_fp):
