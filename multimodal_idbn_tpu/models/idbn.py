@@ -21,7 +21,7 @@ from multimodal_idbn_tpu.checkpoint import (align_loader_for_resume,
                                             checkpoint_epochs,
                                             maybe_save_train_checkpoint,
                                             save_train_checkpoint)
-from multimodal_idbn_tpu.models.rbm import (RBM, as_array,
+from multimodal_idbn_tpu.models.rbm import (RBM, as_array, param_sr,
                                             param_compute_dtype,
                                             param_dtype)
 from multimodal_idbn_tpu.ops import dbn_train
@@ -114,6 +114,11 @@ class iDBN:
         # params["COMPUTE_DTYPE"]="bfloat16": mixed precision (f32 master
         # weights, bf16 Gibbs-chain GEMMs) — see models/rbm.py docstring.
         self.compute_dtype = param_compute_dtype(self.params)
+        # params["SR"]: stochastic-rounding override (YAML
+        # training.stochastic_rounding; None = auto-on for bf16 storage,
+        # False = legacy biased epilogue for ablation — see
+        # models/rbm.py param_sr and ops/rbm_ops.stochastic_round).
+        self.sr = param_sr(self.params)
         # params["PCD"]=True: persistent-CD trainer (framework extension,
         # rbm_ops.pcd_update; the reference trains plain CD-k only).
         self.use_pcd = bool(self.params.get("PCD", False))
@@ -138,6 +143,7 @@ class iDBN:
                 sparsity_factor=self.sparsity_factor,
                 seed=None if seed is None else seed + i,
                 dtype=dtype,
+                sr=self.sr,
             )
             self.layers.append(rbm)
 
@@ -254,7 +260,8 @@ class iDBN:
                 self._states(), self._ensure_pcd_chains(bs), key, data_p,
                 lr, mom, wd, self.sparsity_factor, cd=self.cd_k,
                 sparsity_flags=self._sparsity_flags(), batch_size=bs,
-                shuffle=False, compute_dtype=self.compute_dtype)
+                shuffle=False, compute_dtype=self.compute_dtype,
+                sr=self.sr)
         elif self.mesh is not None:
             # Data-parallel epoch: the [nb*bs] slice keeps the batch count
             # identical to the single-device path (dp_idbn_epoch would
@@ -265,7 +272,7 @@ class iDBN:
                 self.mesh, self._states(), key, data_p[:(n // bs) * bs],
                 lr, mom, wd, self.sparsity_factor, cd=self.cd_k,
                 sparsity_flags=self._sparsity_flags(), batch_size=bs,
-                shuffle=False)
+                shuffle=False, sr=self.sr)
         else:
             states, losses = dbn_train.idbn_epoch(
                 self._states(), key, data_p, lr, mom, wd,
@@ -273,7 +280,7 @@ class iDBN:
                 sparsity_flags=self._sparsity_flags(),
                 batch_size=bs, shuffle=False,
                 compute_dtype=self.compute_dtype,
-                fast_sampler=self._fast_sampler())
+                fast_sampler=self._fast_sampler(), sr=self.sr)
         # Reference averages over all (batch, layer) loss entries equally
         # (idbn.py:204-208): accumulate sums so the remainder batch gets
         # per-entry (not per-call) weight.
@@ -285,7 +292,7 @@ class iDBN:
                 states, jax.random.fold_in(key, 987), data_p[n - rem:],
                 lr, mom, wd, self.sparsity_factor, cd=self.cd_k,
                 sparsity_flags=self._sparsity_flags(),
-                compute_dtype=self.compute_dtype)
+                compute_dtype=self.compute_dtype, sr=self.sr)
             loss_sum += float(rl.sum())
             loss_count += int(rl.size)
         self._set_states(states)
@@ -373,7 +380,8 @@ class iDBN:
                             self.sparsity_factor, cd=self.cd_k,
                             sparsity_flags=self._sparsity_flags(),
                             batch_size=bs, n_epochs=E,
-                            compute_dtype=self.compute_dtype)
+                            compute_dtype=self.compute_dtype,
+                            sr=self.sr)
                     elif mesh is not None:
                         # Blocked DP: same dispatch, batch axis sharded
                         # over the mesh (identical key derivation, so
@@ -386,7 +394,7 @@ class iDBN:
                             self.layers[0].weight_decay,
                             self.sparsity_factor, cd=self.cd_k,
                             sparsity_flags=self._sparsity_flags(),
-                            batch_size=bs, n_epochs=E)
+                            batch_size=bs, n_epochs=E, sr=self.sr)
                     else:
                         states, sums, counts = dbn_train.idbn_epoch_block(
                             self._states(), epoch_key, data,
@@ -396,7 +404,8 @@ class iDBN:
                             sparsity_flags=self._sparsity_flags(),
                             batch_size=bs, n_epochs=E,
                             compute_dtype=self.compute_dtype,
-                            fast_sampler=self._fast_sampler())
+                            fast_sampler=self._fast_sampler(),
+                            sr=self.sr)
                     self._set_states(states)
                 sums = np.asarray(sums)
                 counts = np.asarray(counts)
@@ -531,6 +540,14 @@ class iDBN:
                 retries += 1
                 print(f"[iDBN] recon at blank level — reinit (retry "
                       f"{retries}/{max_retries})")
+                # Invalidate the collapsed attempt's checkpoint BEFORE
+                # reinit: a crash between reinit and the retry's first
+                # checkpoint write would otherwise make a relaunch
+                # resume the collapsed weights at a late epoch, silently
+                # discarding the retry (r4 advisor finding).
+                ckpt = train_kw.get("checkpoint_path")
+                if ckpt is not None and os.path.exists(ckpt):
+                    os.replace(ckpt, str(ckpt) + f".collapsed{retries}")
                 self.reinit_layers(seed_offset=7919 * retries)
                 self.train(epochs, **train_kw)
                 still_collapsed = collapsed()

@@ -23,7 +23,8 @@ from multimodal_idbn_tpu.checkpoint import (align_loader_for_resume,
                                             checkpoint_epochs,
                                             maybe_save_train_checkpoint)
 from multimodal_idbn_tpu.models.idbn import iDBN
-from multimodal_idbn_tpu.models.rbm import RBM, as_array, param_dtype
+from multimodal_idbn_tpu.models.rbm import (RBM, as_array, param_dtype,
+                                            param_sr)
 from multimodal_idbn_tpu.ops import imdbn_ops
 
 # Hardcoded in the reference (imdbn.py:540).
@@ -178,6 +179,7 @@ class iMDBN:
             softmax_groups=[(self.Dz_img, self.Dz_img + K)],
             seed=None if self._seed is None else self._seed + 1000,
             dtype=param_dtype(self.params),
+            sr=param_sr(self.params),
         )
 
     def _joint_groups(self) -> Tuple[Tuple[int, int], ...]:
@@ -551,7 +553,8 @@ class iMDBN:
                         groups=self._joint_groups(),
                         use_free_energy=not self.reference_best_of_k_bug,
                         zclamp_every=50, batch_size=bs,
-                        metrics_every=metrics_every, shuffle=False)
+                        metrics_every=metrics_every, shuffle=False,
+                        sr=self.joint_rbm.sr)
                     if mesh is not None:
                         # The [nb*bs] slice keeps the batch count identical
                         # to the single-device path (dp_joint_epoch would
@@ -585,7 +588,8 @@ class iMDBN:
                                 use_free_energy=(
                                     not self.reference_best_of_k_bug),
                                 zclamp_every=50,
-                                compute_metrics=(metrics_every == 1)))
+                                compute_metrics=(metrics_every == 1),
+                                sr=self.joint_rbm.sr))
                         totals = imdbn_ops.CrossMetrics(
                             *(a + b for a, b in zip(totals, m_rem)))
                         if not warmup:
@@ -647,7 +651,8 @@ class iMDBN:
                 steps=self.cross_steps, groups=self._joint_groups(),
                 use_free_energy=not self.reference_best_of_k_bug,
                 zclamp_every=50, batch_size=bs,
-                metrics_every=metrics_every, n_epochs=E)
+                metrics_every=metrics_every, n_epochs=E,
+                sr=self.joint_rbm.sr)
             with timer.step(E):
                 if mesh is not None:
                     from multimodal_idbn_tpu.parallel import (

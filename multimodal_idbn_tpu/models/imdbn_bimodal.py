@@ -21,7 +21,7 @@ from multimodal_idbn_tpu.checkpoint import (align_loader_for_resume,
                                             checkpoint_epochs,
                                             maybe_save_train_checkpoint)
 from multimodal_idbn_tpu.models.idbn import iDBN
-from multimodal_idbn_tpu.models.rbm import RBM, as_array
+from multimodal_idbn_tpu.models.rbm import RBM, as_array, param_sr
 from multimodal_idbn_tpu.ops import bimodal_ops
 from multimodal_idbn_tpu.utils.wandb_compat import wandb
 
@@ -432,6 +432,7 @@ class iMDBN_BiModal:
                 softmax_groups=[],
                 seed=(None if self._seed is None
                       else self._seed + 2000 + i),
+                sr=param_sr(self.params),
             )
             self.joint_layers.append(rbm)
             current_visible = int(hidden_size)
@@ -717,7 +718,8 @@ class iMDBN_BiModal:
                     warmup=warmup, joint_cd=self.joint_cd,
                     aux_cond_steps=aux_cond_steps, Dz1=self.Dz_mod1,
                     steps=self.cross_steps, batch_size=bs,
-                    metrics_every=metrics_every, n_epochs=end - start)
+                    metrics_every=metrics_every, n_epochs=end - start,
+                    sr=jr.sr)
                 if mesh is not None:
                     from multimodal_idbn_tpu.parallel import (
                         dp_bimodal_epoch_block)
@@ -770,7 +772,8 @@ class iMDBN_BiModal:
                     warmup=warmup, joint_cd=self.joint_cd,
                     aux_cond_steps=aux_cond_steps, Dz1=self.Dz_mod1,
                     steps=self.cross_steps, batch_size=bs,
-                    metrics_every=metrics_every, shuffle=False)
+                    metrics_every=metrics_every, shuffle=False,
+                    sr=jr.sr)
                 if mesh is not None:
                     from multimodal_idbn_tpu.parallel import (
                         dp_bimodal_joint_epoch)
@@ -796,7 +799,7 @@ class iMDBN_BiModal:
                         joint_cd=self.joint_cd,
                         aux_cond_steps=aux_cond_steps, Dz1=self.Dz_mod1,
                         steps=self.cross_steps,
-                        compute_metrics=(metrics_every == 1))
+                        compute_metrics=(metrics_every == 1), sr=jr.sr)
                     totals = bimodal_ops.BimodalMetrics(
                         *(a + b for a, b in zip(totals, m_rem)))
                     if not warmup:
@@ -842,7 +845,8 @@ class iMDBN_BiModal:
                 effective_momentum(jr.momentum, jr.final_momentum, epoch),
                 jr.weight_decay, warmup=warmup, joint_cd=self.joint_cd,
                 aux_cond_steps=aux_cond_steps, Dz1=self.Dz_mod1,
-                steps=self.cross_steps, compute_metrics=compute_metrics)
+                steps=self.cross_steps, compute_metrics=compute_metrics,
+                sr=jr.sr)
             self._set_joint_states(joint)
             if not warmup:
                 cd_losses.append(float(cd_loss))

@@ -81,6 +81,29 @@ def param_compute_dtype(params: dict):
         f"unsupported COMPUTE_DTYPE {name!r} (float32 | bfloat16)")
 
 
+def param_sr(params: dict):
+    """Stochastic-rounding override from a params dict: ``SR`` ∈
+    {None/"auto", True, False} (YAML ``training.stochastic_rounding``).
+
+    ``None`` keeps the ops-layer auto rule — SR ON whenever the storage
+    dtype is bfloat16 (nearest-rounded bf16 updates are the measured
+    flagship-quality collapse, ops/rbm_ops.stochastic_round). ``False``
+    forces the legacy biased epilogue (ablation), ``True`` forces SR on.
+    """
+    val = (params or {}).get("SR", None)
+    if val is None or (isinstance(val, str)
+                       and val.lower() in ("auto", "none", "")):
+        return None
+    if isinstance(val, bool):
+        return val
+    if isinstance(val, str):
+        if val.lower() in ("true", "on", "1", "yes"):
+            return True
+        if val.lower() in ("false", "off", "0", "no"):
+            return False
+    raise ValueError(f"unsupported SR {val!r} (auto | true | false)")
+
+
 def as_array(x, dtype=jnp.float32) -> Array:
     """Convert numpy / jax / torch-CPU inputs to a 2-D float device array."""
     if hasattr(x, "detach"):  # torch tensor without importing torch
@@ -103,11 +126,12 @@ _sample_visible = jax.jit(sampling.sample_visible, static_argnames=("groups",))
 _gibbs_step = jax.jit(rbm_ops.gibbs_step,
                       static_argnames=("sample_h", "sample_v", "groups"))
 _cd_update = jax.jit(rbm_ops.cd_update,
-                     static_argnames=("cd", "sparsity", "groups"))
+                     static_argnames=("cd", "sparsity", "groups", "sr"))
 _clamped_cd_update = jax.jit(
     rbm_ops.clamped_cd_update,
     static_argnames=("cd", "cond_init_steps", "sample_h", "sample_v",
-                     "reclamp_negative", "use_noisy_init", "groups"))
+                     "reclamp_negative", "use_noisy_init", "groups",
+                     "sr"))
 _conditional_gibbs = jax.jit(
     rbm_ops.conditional_gibbs,
     static_argnames=("n_steps", "sample_h", "sample_v", "groups"))
@@ -144,6 +168,7 @@ class RBM:
         softmax_groups: Optional[List[Tuple[int, int]]] = None,
         seed: Optional[int] = None,
         dtype=None,
+        sr=None,
     ):
         self.num_visible = int(num_visible)
         self.num_hidden = int(num_hidden)
@@ -155,6 +180,9 @@ class RBM:
         self.sparsity = bool(sparsity)
         self.sparsity_factor = float(sparsity_factor)
         self.softmax_groups = [tuple(g) for g in (softmax_groups or [])]
+        # Stochastic-rounding override (None = auto-on for bf16 storage;
+        # see param_sr). Static at trace time.
+        self.sr = sr
 
         self._key = _fresh_key(seed)
         self._key, init_key = jax.random.split(self._key)
@@ -318,7 +346,7 @@ class RBM:
             self._state, self._next_key(), as_array(data),
             lr=lr, mom=mom, weight_decay=self.weight_decay, cd=int(CD),
             sparsity=self.sparsity, sparsity_factor=self.sparsity_factor,
-            groups=self._groups())
+            groups=self._groups(), sr=self.sr)
         return loss
 
     def train_epoch_clamped(self, v_known, known_mask, epoch: int,
@@ -341,7 +369,7 @@ class RBM:
             cond_init_steps=int(cond_init_steps), sample_h=sample_h,
             sample_v=sample_v, reclamp_negative=reclamp_negative,
             aux_lr_mult=aux_lr_mult, use_noisy_init=use_noisy_init,
-            mu_k=mu_k, eta0=eta0, groups=self._groups())
+            mu_k=mu_k, eta0=eta0, groups=self._groups(), sr=self.sr)
         return loss
 
     # -- conditional inference ------------------------------------------------

@@ -80,7 +80,7 @@ def bimodal_cross_reconstruct(joint0: rbm_ops.RBMState, mod1_states,
 def _bimodal_train_batch(joint: States, mod1_states, mod2_states, key, z1,
                          z2, v1, v2, lr, mom, weight_decay, *, warmup: bool,
                          joint_cd: int, aux_cond_steps: int, Dz1: int,
-                         steps: int, compute_metrics: bool):
+                         steps: int, compute_metrics: bool, sr=None):
     """One bimodal joint batch (reference imdbn_bimodal.py:743-831)."""
     B = z1.shape[0]
     Dz2 = z2.shape[1]
@@ -102,13 +102,13 @@ def _bimodal_train_batch(joint: States, mod1_states, mod2_states, key, z1,
                 weight_decay=weight_decay, cd=3,
                 cond_init_steps=aux_cond_steps, sample_h=True,
                 sample_v=False, reclamp_negative=True, aux_lr_mult=0.3,
-                use_noisy_init=True, groups=())
+                use_noisy_init=True, groups=(), sr=sr)
             layers[0], _ = rbm_ops.clamped_cd_update(
                 layers[0], keys[2 * i + 1], vk2, 1.0 - km1, lr=lr, mom=mom,
                 weight_decay=weight_decay, cd=3,
                 cond_init_steps=aux_cond_steps, sample_h=True,
                 sample_v=False, reclamp_negative=True, aux_lr_mult=0.3,
-                use_noisy_init=True, groups=())
+                use_noisy_init=True, groups=(), sr=sr)
     else:
         # Per-layer free CD down the joint stack (:783-792).
         current = v_plus
@@ -116,7 +116,7 @@ def _bimodal_train_batch(joint: States, mod1_states, mod2_states, key, z1,
             layers[li], loss = rbm_ops.cd_update(
                 layers[li], jax.random.fold_in(keys[4], li), current,
                 lr=lr, mom=mom, weight_decay=weight_decay, cd=joint_cd,
-                groups=())
+                groups=(), sr=sr)
             if li == 0:
                 cd_loss = loss
             current = rbm_ops.hidden_probs(layers[li], current)
@@ -126,12 +126,12 @@ def _bimodal_train_batch(joint: States, mod1_states, mod2_states, key, z1,
             layers[0], keys[5], vk1, km1, lr=lr, mom=mom,
             weight_decay=weight_decay, cd=3, cond_init_steps=aux_cond_steps,
             sample_h=True, sample_v=False, reclamp_negative=False,
-            aux_lr_mult=0.3, use_noisy_init=True, groups=())
+            aux_lr_mult=0.3, use_noisy_init=True, groups=(), sr=sr)
         layers[0], _ = rbm_ops.clamped_cd_update(
             layers[0], keys[6], vk2, 1.0 - km1, lr=lr, mom=mom,
             weight_decay=weight_decay, cd=3, cond_init_steps=aux_cond_steps,
             sample_h=True, sample_v=False, reclamp_negative=False,
-            aux_lr_mult=0.3, use_noisy_init=True, groups=())
+            aux_lr_mult=0.3, use_noisy_init=True, groups=(), sr=sr)
 
     if compute_metrics:
         rec1, rec2 = bimodal_cross_reconstruct(
@@ -154,13 +154,14 @@ from multimodal_idbn_tpu.ops.dbn_train import (  # noqa: E402
 @partial(jax.jit,
          static_argnames=("warmup", "joint_cd", "aux_cond_steps", "Dz1",
                           "steps", "batch_size", "metrics_every", "shuffle",
-                          "mesh", "shard_axis"))
+                          "mesh", "shard_axis", "sr"))
 def bimodal_joint_epoch(joint: States, mod1_states, mod2_states, key,
                         Z1: Array, Z2: Array, V1: Array, V2: Array, lr, mom,
                         weight_decay, *, warmup: bool, joint_cd: int,
                         aux_cond_steps: int, Dz1: int, steps: int,
                         batch_size: int, metrics_every: int = 1,
-                        shuffle: bool = False, mesh=None, shard_axis=None):
+                        shuffle: bool = False, mesh=None, shard_axis=None,
+                        sr=None):
     """One fused bimodal joint epoch over precomputed latents."""
     n = Z1.shape[0]
     nb = n // batch_size
@@ -189,7 +190,7 @@ def bimodal_joint_epoch(joint: States, mod1_states, mod2_states, key,
             joint, mod1_states, mod2_states, skey, z1, z2, v1, v2, lr, mom,
             weight_decay, warmup=warmup, joint_cd=joint_cd,
             aux_cond_steps=aux_cond_steps, Dz1=Dz1, steps=steps,
-            compute_metrics=(metrics_every == 1))
+            compute_metrics=(metrics_every == 1), sr=sr)
         if metrics_every > 1:
             def compute(_):
                 rec1, rec2 = bimodal_cross_reconstruct(
@@ -213,7 +214,7 @@ def bimodal_joint_epoch(joint: States, mod1_states, mod2_states, key,
 @partial(jax.jit,
          static_argnames=("warmup", "joint_cd", "aux_cond_steps", "Dz1",
                           "steps", "batch_size", "metrics_every",
-                          "n_epochs", "mesh", "shard_axis"))
+                          "n_epochs", "mesh", "shard_axis", "sr"))
 def bimodal_epoch_block(joint: States, mod1_states, mod2_states,
                         epoch_key: Array, Z1: Array, Z2: Array, V1: Array,
                         V2: Array, epoch_idx: Array, lr_arr: Array,
@@ -221,7 +222,7 @@ def bimodal_epoch_block(joint: States, mod1_states, mod2_states,
                         joint_cd: int, aux_cond_steps: int, Dz1: int,
                         steps: int, batch_size: int,
                         metrics_every: int = 1, n_epochs: int = 1,
-                        mesh=None, shard_axis=None):
+                        mesh=None, shard_axis=None, sr=None):
     """Run ``n_epochs`` bimodal joint epochs in ONE dispatch (nested scan)
     with the per-epoch key derivation of the unblocked path — blocked and
     per-epoch training are bit-identical. Returns
@@ -257,7 +258,7 @@ def bimodal_epoch_block(joint: States, mod1_states, mod2_states,
                     lr, mom, weight_decay, warmup=warmup,
                     joint_cd=joint_cd, aux_cond_steps=aux_cond_steps,
                     Dz1=Dz1, steps=steps,
-                    compute_metrics=(metrics_every == 1))
+                    compute_metrics=(metrics_every == 1), sr=sr)
                 if metrics_every > 1:
                     def compute(_):
                         rec1, rec2 = bimodal_cross_reconstruct(
@@ -289,7 +290,7 @@ def bimodal_epoch_block(joint: States, mod1_states, mod2_states,
                 V2p[nb * batch_size:], lr, mom, weight_decay,
                 warmup=warmup, joint_cd=joint_cd,
                 aux_cond_steps=aux_cond_steps, Dz1=Dz1, steps=steps,
-                compute_metrics=(metrics_every == 1))
+                compute_metrics=(metrics_every == 1), sr=sr)
             totals = BimodalMetrics(*(a + b for a, b in zip(totals, m_rem)))
             cd_sum = cd_sum + cd_rem
             cd_count = cd_count + 1.0
@@ -302,17 +303,17 @@ def bimodal_epoch_block(joint: States, mod1_states, mod2_states,
 
 @partial(jax.jit,
          static_argnames=("warmup", "joint_cd", "aux_cond_steps", "Dz1",
-                          "steps", "compute_metrics"))
+                          "steps", "compute_metrics", "sr"))
 def bimodal_batch_step(joint: States, mod1_states, mod2_states, key, z1, z2,
                        v1, v2, lr, mom, weight_decay, *, warmup: bool,
                        joint_cd: int, aux_cond_steps: int, Dz1: int,
-                       steps: int, compute_metrics: bool = True):
+                       steps: int, compute_metrics: bool = True, sr=None):
     """Single-batch jitted variant (remainder / per-batch path)."""
     return _bimodal_train_batch(
         joint, mod1_states, mod2_states, key, z1, z2, v1, v2, lr, mom,
         weight_decay, warmup=warmup, joint_cd=joint_cd,
         aux_cond_steps=aux_cond_steps, Dz1=Dz1, steps=steps,
-        compute_metrics=compute_metrics)
+        compute_metrics=compute_metrics, sr=sr)
 
 
 _bimodal_cross_jit = jax.jit(bimodal_cross_reconstruct,

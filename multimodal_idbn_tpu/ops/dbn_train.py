@@ -29,11 +29,15 @@ States = Tuple[rbm_ops.RBMState, ...]
 
 
 def _layer_update(st, key, v, *, lr, mom, weight_decay, cd, sparsity,
-                  sparsity_factor, compute_dtype, fast_sampler):
+                  sparsity_factor, compute_dtype, fast_sampler,
+                  sr=None):
     """One groupless CD update: the exact jnp path, or the opt-in Pallas
     sampled-CD path (``ops/pallas_cd.py`` — fused GEMM+sigmoid+sample
     with on-core PRNG; different random stream, reference update order).
     ``fast_sampler`` is static so the jnp path stays untouched when off.
+    ``sr`` (static) overrides the stochastic-rounding auto rule of
+    ``rbm_ops.cd_update`` (the Pallas path has no SR epilogue and is
+    already disabled for bf16 storage at the model layer).
     """
     if fast_sampler:
         from multimodal_idbn_tpu.ops import pallas_cd
@@ -43,7 +47,7 @@ def _layer_update(st, key, v, *, lr, mom, weight_decay, cd, sparsity,
     return rbm_ops.cd_update(
         st, key, v, lr=lr, mom=mom, weight_decay=weight_decay, cd=cd,
         sparsity=sparsity, sparsity_factor=sparsity_factor, groups=(),
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype, sr=sr)
 
 
 def _constrain_batches(batches, mesh, shard_axis):
@@ -58,12 +62,14 @@ def _constrain_batches(batches, mesh, shard_axis):
 
 @partial(jax.jit, static_argnames=("cd", "sparsity_flags", "batch_size",
                                    "shuffle", "compute_dtype",
-                                   "fast_sampler", "mesh", "shard_axis"))
+                                   "fast_sampler", "mesh", "shard_axis",
+                                   "sr"))
 def idbn_epoch(states: States, key: Array, data: Array, lr, mom,
                weight_decay, sparsity_factor, *, cd: int,
                sparsity_flags: Tuple[bool, ...], batch_size: int,
                shuffle: bool = False, compute_dtype=None,
-               fast_sampler: bool = False, mesh=None, shard_axis=None):
+               fast_sampler: bool = False, mesh=None, shard_axis=None,
+               sr=None):
     """One full iDBN epoch on-device.
 
     Args:
@@ -119,7 +125,8 @@ def idbn_epoch(states: States, key: Array, data: Array, lr, mom,
                 weight_decay=weight_decay, cd=cd,
                 sparsity=sparsity_flags[i],
                 sparsity_factor=sparsity_factor,
-                compute_dtype=compute_dtype, fast_sampler=fast_sampler)
+                compute_dtype=compute_dtype, fast_sampler=fast_sampler,
+                sr=sr)
             # post-update activations feed the next layer (same compute
             # dtype so the whole chain streams bf16 under mixed precision)
             v = rbm_ops.hidden_probs(
@@ -134,14 +141,15 @@ def idbn_epoch(states: States, key: Array, data: Array, lr, mom,
 
 @partial(jax.jit, static_argnames=("cd", "sparsity_flags", "batch_size",
                                    "n_epochs", "compute_dtype",
-                                   "fast_sampler", "mesh", "shard_axis"))
+                                   "fast_sampler", "mesh", "shard_axis",
+                                   "sr"))
 def idbn_epoch_block(states: States, epoch_key: Array, data: Array,
                      epoch_idx: Array, lr_arr: Array, mom_arr: Array,
                      weight_decay, sparsity_factor, *, cd: int,
                      sparsity_flags: Tuple[bool, ...], batch_size: int,
                      n_epochs: int, compute_dtype=None,
                      fast_sampler: bool = False, mesh=None,
-                     shard_axis=None):
+                     shard_axis=None, sr=None):
     """Run ``n_epochs`` full epochs in ONE dispatch (nested scan).
 
     Each epoch permutes the dataset on-device (exactly-once semantics,
@@ -180,7 +188,7 @@ def idbn_epoch_block(states: States, epoch_key: Array, data: Array,
                     sparsity=sparsity_flags[i],
                     sparsity_factor=sparsity_factor,
                     compute_dtype=compute_dtype,
-                    fast_sampler=fast_sampler)
+                    fast_sampler=fast_sampler, sr=sr)
                 v = rbm_ops.hidden_probs(
                     rbm_ops.compute_cast(st, compute_dtype), v)
                 new_states.append(st)
@@ -208,7 +216,7 @@ def idbn_epoch_block(states: States, epoch_key: Array, data: Array,
                     weight_decay=weight_decay, cd=cd,
                     sparsity=sparsity_flags[i],
                     sparsity_factor=sparsity_factor, groups=(),
-                    compute_dtype=compute_dtype)
+                    compute_dtype=compute_dtype, sr=sr)
                 v = rbm_ops.hidden_probs(
                     rbm_ops.compute_cast(st, compute_dtype), v)
                 new_states.append(st)
@@ -223,12 +231,12 @@ def idbn_epoch_block(states: States, epoch_key: Array, data: Array,
 
 
 @partial(jax.jit, static_argnames=("cd", "sparsity_flags", "batch_size",
-                                   "shuffle", "compute_dtype"))
+                                   "shuffle", "compute_dtype", "sr"))
 def idbn_epoch_pcd(states: States, chains: Tuple[Array, ...], key: Array,
                    data: Array, lr, mom, weight_decay, sparsity_factor, *,
                    cd: int, sparsity_flags: Tuple[bool, ...],
                    batch_size: int, shuffle: bool = False,
-                   compute_dtype=None):
+                   compute_dtype=None, sr=None):
     """Persistent-CD fused epoch: like ``idbn_epoch`` but each layer
     carries fantasy particles (``rbm_ops.pcd_update``) through the scan.
     Returns (states, chains, losses[nb, L]). Framework extension — the
@@ -259,7 +267,7 @@ def idbn_epoch_pcd(states: States, chains: Tuple[Array, ...], key: Array,
                 weight_decay=weight_decay, cd=cd,
                 sparsity=sparsity_flags[i],
                 sparsity_factor=sparsity_factor, groups=(),
-                compute_dtype=compute_dtype)
+                compute_dtype=compute_dtype, sr=sr)
             v = rbm_ops.hidden_probs(
                 rbm_ops.compute_cast(st, compute_dtype), v)
             new_states.append(st)
@@ -273,13 +281,13 @@ def idbn_epoch_pcd(states: States, chains: Tuple[Array, ...], key: Array,
 
 
 @partial(jax.jit, static_argnames=("cd", "sparsity_flags", "batch_size",
-                                   "n_epochs", "compute_dtype"))
+                                   "n_epochs", "compute_dtype", "sr"))
 def idbn_epoch_block_pcd(states: States, chains: Tuple[Array, ...],
                          epoch_key: Array, data: Array, epoch_idx: Array,
                          lr_arr: Array, mom_arr: Array, weight_decay,
                          sparsity_factor, *, cd: int,
                          sparsity_flags: Tuple[bool, ...], batch_size: int,
-                         n_epochs: int, compute_dtype=None):
+                         n_epochs: int, compute_dtype=None, sr=None):
     """``n_epochs`` persistent-CD epochs in one dispatch; the fantasy
     particles persist ACROSS epochs (the point of PCD). Same key
     derivation as ``idbn_epoch_block``; the remainder beyond
@@ -311,7 +319,7 @@ def idbn_epoch_block_pcd(states: States, chains: Tuple[Array, ...],
                     mom=mom, weight_decay=weight_decay, cd=cd,
                     sparsity=sparsity_flags[i],
                     sparsity_factor=sparsity_factor, groups=(),
-                    compute_dtype=compute_dtype)
+                    compute_dtype=compute_dtype, sr=sr)
                 v = rbm_ops.hidden_probs(
                     rbm_ops.compute_cast(st, compute_dtype), v)
                 new_states.append(st)
@@ -339,7 +347,7 @@ def idbn_epoch_block_pcd(states: States, chains: Tuple[Array, ...],
                     weight_decay=weight_decay, cd=cd,
                     sparsity=sparsity_flags[i],
                     sparsity_factor=sparsity_factor, groups=(),
-                    compute_dtype=compute_dtype)
+                    compute_dtype=compute_dtype, sr=sr)
                 v = rbm_ops.hidden_probs(
                     rbm_ops.compute_cast(st, compute_dtype), v)
                 new_states.append(st)
@@ -354,10 +362,11 @@ def idbn_epoch_block_pcd(states: States, chains: Tuple[Array, ...],
 
 
 @partial(jax.jit, static_argnames=("cd", "sparsity_flags",
-                                   "compute_dtype"))
+                                   "compute_dtype", "sr"))
 def idbn_batch_step(states: States, key: Array, batch: Array, lr, mom,
                     weight_decay, sparsity_factor, *, cd: int,
-                    sparsity_flags: Tuple[bool, ...], compute_dtype=None):
+                    sparsity_flags: Tuple[bool, ...], compute_dtype=None,
+                    sr=None):
     """Per-batch all-layers update (used for the epoch remainder and by
     the reference-style per-batch path)."""
     v = batch.astype(compute_dtype or states[0].w.dtype)
@@ -368,7 +377,7 @@ def idbn_batch_step(states: States, key: Array, batch: Array, lr, mom,
             st, jax.random.fold_in(key, i), v, lr=lr, mom=mom,
             weight_decay=weight_decay, cd=cd, sparsity=sparsity_flags[i],
             sparsity_factor=sparsity_factor, groups=(),
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, sr=sr)
         v = rbm_ops.hidden_probs(
             rbm_ops.compute_cast(st, compute_dtype), v)
         new_states.append(st)

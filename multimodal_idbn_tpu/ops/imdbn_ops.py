@@ -198,7 +198,7 @@ def _joint_train_batch(joint: rbm_ops.RBMState, idbn_states, key: Array,
                        warmup: bool, joint_cd: int, aux_cond_steps: int,
                        Dz: int, steps: int, groups: SoftmaxGroups,
                        use_free_energy: bool, zclamp_every: int,
-                       compute_metrics: bool):
+                       compute_metrics: bool, sr=None):
     """One joint-training batch (reference imdbn.py:553-639).
 
     Warmup epochs: 2× y-clamped aux CD (imdbn.py:566-579). Main epochs:
@@ -221,17 +221,18 @@ def _joint_train_batch(joint: rbm_ops.RBMState, idbn_states, key: Array,
                 weight_decay=weight_decay, cd=1,
                 cond_init_steps=aux_cond_steps, sample_h=False,
                 sample_v=False, reclamp_negative=True, aux_lr_mult=0.3,
-                use_noisy_init=True, groups=groups)
+                use_noisy_init=True, groups=groups, sr=sr)
     else:
         joint, cd_loss = rbm_ops.cd_update(
             joint, keys[0], v_plus, lr=lr, mom=mom,
-            weight_decay=weight_decay, cd=joint_cd, groups=groups)
+            weight_decay=weight_decay, cd=joint_cd, groups=groups,
+            sr=sr)
         joint, _ = rbm_ops.clamped_cd_update(
             joint, keys[1], v_known_y, km_y, lr=lr, mom=mom,
             weight_decay=weight_decay, cd=1,
             cond_init_steps=aux_cond_steps, sample_h=False, sample_v=False,
             reclamp_negative=False, aux_lr_mult=0.3, use_noisy_init=True,
-            groups=groups)
+            groups=groups, sr=sr)
 
         # z-clamp aux every `zclamp_every` batches (:599-612).
         km_z = 1.0 - km_y
@@ -244,7 +245,7 @@ def _joint_train_batch(joint: rbm_ops.RBMState, idbn_states, key: Array,
                 weight_decay=weight_decay, cd=1,
                 cond_init_steps=aux_cond_steps, sample_h=False,
                 sample_v=False, reclamp_negative=False, aux_lr_mult=0.3,
-                use_noisy_init=True, groups=groups)
+                use_noisy_init=True, groups=groups, sr=sr)
             return j2
 
         joint = jax.lax.cond(b_idx % zclamp_every == 0, do_zclamp,
@@ -265,14 +266,15 @@ def _joint_train_batch(joint: rbm_ops.RBMState, idbn_states, key: Array,
          static_argnames=("warmup", "joint_cd", "aux_cond_steps", "Dz",
                           "steps", "groups", "use_free_energy",
                           "zclamp_every", "batch_size", "metrics_every",
-                          "shuffle", "mesh", "shard_axis"))
+                          "shuffle", "mesh", "shard_axis", "sr"))
 def joint_epoch(joint: rbm_ops.RBMState, idbn_states, key: Array, Z: Array,
                 Y: Array, IMG: Array, lr, mom, weight_decay, z_class_mean,
                 *, warmup: bool, joint_cd: int, aux_cond_steps: int,
                 Dz: int, steps: int, groups: SoftmaxGroups,
                 use_free_energy: bool = False, zclamp_every: int = 50,
                 batch_size: int = 128, metrics_every: int = 1,
-                shuffle: bool = False, mesh=None, shard_axis=None):
+                shuffle: bool = False, mesh=None, shard_axis=None,
+                sr=None):
     """One fused joint-training epoch over precomputed latents Z.
 
     Returns (joint', mean_cd_loss, CrossMetrics sums). Remainder samples
@@ -310,7 +312,7 @@ def joint_epoch(joint: rbm_ops.RBMState, idbn_states, key: Array, Z: Array,
             aux_cond_steps=aux_cond_steps, Dz=Dz, steps=steps,
             groups=groups, use_free_energy=use_free_energy,
             zclamp_every=zclamp_every,
-            compute_metrics=(metrics_every == 1))
+            compute_metrics=(metrics_every == 1), sr=sr)
         if metrics_every > 1:
             # Thinned cadence (config extension; reference computes every
             # batch, imdbn.py:614-639 — default metrics_every=1 keeps that).
@@ -339,7 +341,7 @@ def joint_epoch(joint: rbm_ops.RBMState, idbn_states, key: Array, Z: Array,
          static_argnames=("warmup", "joint_cd", "aux_cond_steps", "Dz",
                           "steps", "groups", "use_free_energy",
                           "zclamp_every", "batch_size", "metrics_every",
-                          "n_epochs", "mesh", "shard_axis"))
+                          "n_epochs", "mesh", "shard_axis", "sr"))
 def joint_epoch_block(joint: rbm_ops.RBMState, idbn_states,
                       epoch_key: Array, Z: Array, Y: Array, IMG: Array,
                       epoch_idx: Array, lr_arr: Array, mom_arr: Array,
@@ -349,7 +351,7 @@ def joint_epoch_block(joint: rbm_ops.RBMState, idbn_states,
                       use_free_energy: bool = False,
                       zclamp_every: int = 50, batch_size: int = 128,
                       metrics_every: int = 1, n_epochs: int = 1,
-                      mesh=None, shard_axis=None):
+                      mesh=None, shard_axis=None, sr=None):
     """Run ``n_epochs`` joint epochs in ONE dispatch (nested scan),
     amortizing per-call tunnel latency. Identical key derivation to the
     per-epoch path (``fold_in(epoch_key, epoch_idx)``) so blocked and
@@ -393,7 +395,7 @@ def joint_epoch_block(joint: rbm_ops.RBMState, idbn_states,
                     Dz=Dz, steps=steps, groups=groups,
                     use_free_energy=use_free_energy,
                     zclamp_every=zclamp_every,
-                    compute_metrics=(metrics_every == 1))
+                    compute_metrics=(metrics_every == 1), sr=sr)
                 if metrics_every > 1:
                     def compute(_):
                         img_from_txt, p_y = cross_reconstruct(
@@ -425,7 +427,7 @@ def joint_epoch_block(joint: rbm_ops.RBMState, idbn_states,
                 steps=steps, groups=groups,
                 use_free_energy=use_free_energy,
                 zclamp_every=zclamp_every,
-                compute_metrics=(metrics_every == 1))
+                compute_metrics=(metrics_every == 1), sr=sr)
             totals = CrossMetrics(*(a + b for a, b in zip(totals, m_rem)))
             cd_sum = cd_sum + cd_rem
             cd_count = cd_count + 1.0
@@ -439,7 +441,7 @@ def joint_epoch_block(joint: rbm_ops.RBMState, idbn_states,
 @partial(jax.jit,
          static_argnames=("warmup", "joint_cd", "aux_cond_steps", "Dz",
                           "steps", "groups", "use_free_energy",
-                          "zclamp_every", "compute_metrics"))
+                          "zclamp_every", "compute_metrics", "sr"))
 def joint_train_batch_step(joint: rbm_ops.RBMState, idbn_states, key: Array,
                            zb: Array, yb: Array, imgb: Array, b_idx, lr,
                            mom, weight_decay, z_class_mean, *, warmup: bool,
@@ -447,14 +449,14 @@ def joint_train_batch_step(joint: rbm_ops.RBMState, idbn_states, key: Array,
                            steps: int, groups: SoftmaxGroups,
                            use_free_energy: bool = False,
                            zclamp_every: int = 50,
-                           compute_metrics: bool = True):
+                           compute_metrics: bool = True, sr=None):
     """Single-batch jitted variant (epoch remainder / reference-style path)."""
     return _joint_train_batch(
         joint, idbn_states, key, zb, yb, imgb, b_idx, lr, mom, weight_decay,
         z_class_mean, warmup=warmup, joint_cd=joint_cd,
         aux_cond_steps=aux_cond_steps, Dz=Dz, steps=steps, groups=groups,
         use_free_energy=use_free_energy, zclamp_every=zclamp_every,
-        compute_metrics=compute_metrics)
+        compute_metrics=compute_metrics, sr=sr)
 
 
 _cross_reconstruct_jit = jax.jit(

@@ -164,7 +164,8 @@ def _shard_or_replicate(mesh: Mesh, data):
 
 def dp_idbn_epoch(mesh: Mesh, states, key: Array, data, lr, mom,
                   weight_decay, sparsity_factor, *, cd: int,
-                  sparsity_flags, batch_size: int, shuffle: bool = False):
+                  sparsity_flags, batch_size: int, shuffle: bool = False,
+                  sr=None):
     """Data-parallel fused iDBN epoch.
 
     The dataset lives sharded in HBM across the mesh; each scan step's
@@ -184,13 +185,13 @@ def dp_idbn_epoch(mesh: Mesh, states, key: Array, data, lr, mom,
                                 sparsity_factor, cd=cd,
                                 sparsity_flags=tuple(sparsity_flags),
                                 batch_size=batch_size, shuffle=shuffle,
-                                mesh=mesh, shard_axis=axis)
+                                mesh=mesh, shard_axis=axis, sr=sr)
 
 
 def dp_idbn_epoch_block(mesh: Mesh, states, epoch_key: Array, data,
                         epoch_idx, lr_arr, mom_arr, weight_decay,
                         sparsity_factor, *, cd: int, sparsity_flags,
-                        batch_size: int, n_epochs: int):
+                        batch_size: int, n_epochs: int, sr=None):
     """Data-parallel epoch-blocked training: ``n_epochs`` full epochs in
     ONE dispatch with the batch axis sharded over the mesh
     (``dbn_train.idbn_epoch_block`` with the mesh statics set — identical
@@ -204,7 +205,7 @@ def dp_idbn_epoch_block(mesh: Mesh, states, epoch_key: Array, data,
         states, epoch_key, data, epoch_idx, lr_arr, mom_arr,
         weight_decay, sparsity_factor, cd=cd,
         sparsity_flags=tuple(sparsity_flags), batch_size=batch_size,
-        n_epochs=n_epochs, mesh=mesh, shard_axis=axis)
+        n_epochs=n_epochs, mesh=mesh, shard_axis=axis, sr=sr)
 
 
 def dp_joint_epoch(mesh: Mesh, joint, idbn_states, key, Z, Y, IMG, lr, mom,

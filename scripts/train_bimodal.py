@@ -73,6 +73,12 @@ def build_params(cfg: dict) -> dict:
         # checkpoint every N epochs (paths.checkpoint_dir); rerunning the
         # same command continues bit-identically from the last checkpoint
         "CHECKPOINT_EVERY": t.get("checkpoint_every", 0),
+        # framework extensions: storage dtype + stochastic-rounding
+        # override (models/rbm.py param_dtype / param_sr); defaults =
+        # reference semantics.
+        "DTYPE": t.get("dtype", "float32"),
+        "COMPUTE_DTYPE": t.get("compute_dtype"),
+        "SR": t.get("stochastic_rounding"),
         "SEED": t.get("seed", 0),
     }
 

@@ -73,6 +73,13 @@ def build_params(cfg: dict) -> dict:
         # checkpoint every N epochs (paths.checkpoint_dir); rerunning the
         # same command continues bit-identically from the last checkpoint
         "CHECKPOINT_EVERY": t.get("checkpoint_every", 0),
+        # framework extensions: parameter storage / chain-GEMM precision
+        # and the stochastic-rounding override (models/rbm.py param_dtype
+        # / param_compute_dtype / param_sr). Defaults = reference
+        # semantics (f32 everywhere, SR auto = on only for bf16 storage).
+        "DTYPE": t.get("dtype", "float32"),
+        "COMPUTE_DTYPE": t.get("compute_dtype"),
+        "SR": t.get("stochastic_rounding"),
         "SEED": t.get("seed", 0),
     }
 

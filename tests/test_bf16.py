@@ -238,3 +238,53 @@ def test_bf16_sr_clamped_update_dtype_and_accumulation():
         return float(jnp.mean(jnp.abs((s.w - state.w).astype(jnp.float32))))
 
     assert drift(None) > 5 * max(drift(False), 1e-9)
+
+
+def test_sr_knob_yaml_to_ops():
+    """The YAML ``training.stochastic_rounding`` knob reaches the ops
+    layer (VERDICT r4 item 8): build_params maps it to params["SR"],
+    param_sr parses it, the model threads it, and at bf16 storage
+    sr=False (legacy biased epilogue) trains DIFFERENT weights than the
+    auto default (SR on) while sr=None stays the auto rule."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent
+                           / "scripts"))
+    try:
+        from train_multimodal import build_params
+    finally:
+        sys.path.pop(0)
+    from multimodal_idbn_tpu.models.rbm import param_sr
+
+    cfg = {"training": {"stochastic_rounding": False,
+                        "dtype": "bfloat16"}}
+    params = build_params(cfg)
+    assert params["SR"] is False and params["DTYPE"] == "bfloat16"
+    assert param_sr(params) is False
+    assert param_sr(build_params({"training": {}})) is None
+    assert param_sr({"SR": "true"}) is True
+    assert param_sr({"SR": "auto"}) is None
+
+    # model-level: iDBN resolves and threads the knob
+    from multimodal_idbn_tpu.models.idbn import iDBN
+
+    data = _bars_data()
+
+    def run(sr_val):
+        p = {"LEARNING_RATE": 0.1, "WEIGHT_PENALTY": 1e-4,
+             "INIT_MOMENTUM": 0.5, "FINAL_MOMENTUM": 0.95,
+             "LEARNING_RATE_DYNAMIC": False, "CD": 1,
+             "DTYPE": "bfloat16", "SR": sr_val}
+        m = iDBN([64, 32], p, dataloader=None, val_loader=None, seed=0)
+        assert m.sr is (None if sr_val is None else sr_val)
+        states, _ = dbn_train.idbn_epoch(
+            m._states(), jax.random.key(3), data, 0.1, 0.5, 1e-4, 0.1,
+            cd=1, sparsity_flags=(False,), batch_size=64, sr=m.sr)
+        return np.asarray(states[0].w, np.float32)
+
+    w_auto = run(None)     # auto: SR on for bf16 storage
+    w_on = run(True)       # explicit on == auto at bf16
+    w_off = run(False)     # legacy biased epilogue
+    np.testing.assert_array_equal(w_auto, w_on)
+    assert not np.array_equal(w_auto, w_off)
