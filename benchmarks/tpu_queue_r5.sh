@@ -1,0 +1,55 @@
+#!/bin/bash
+# Round-5 serial TPU work queue. One TPU process at a time; every step
+# gated on a fresh bounded backend probe (a failed init poisons its
+# process — CLAUDE.md recovery rule). Results land in
+# benchmarks/_staging/ (untracked) and are merged+committed by a live
+# foreground step, never by this script (round-end hygiene rule).
+set -u
+cd /root/repo
+STG=benchmarks/_staging
+LOG=$STG/tpu_queue_r5.log
+mkdir -p "$STG"
+
+say() { echo "$(date -u +%H:%M:%S) $*" >> "$LOG"; }
+
+probe() { # wait (up to ~forever) for the backend, fresh process each try
+  local n=0
+  while true; do
+    if timeout -k 15 300 python -c "import jax; jax.devices()" >/dev/null 2>&1
+    then say "probe ok (attempt $((n+1)))"; return 0
+    fi
+    n=$((n+1)); say "probe down (attempt $n) — sleeping 600s"
+    sleep 600
+  done
+}
+
+run_step() { # run_step <name> <timeout_s> <cmd...>
+  local name=$1 tmo=$2; shift 2
+  if [ -e "$STG/$name.done" ]; then say "$name: already done"; return; fi
+  probe
+  say "$name: start"
+  if timeout -k 30 "$tmo" "$@" > "$STG/$name.json" 2> "$STG/$name.err"; then
+    touch "$STG/$name.done"; say "$name: OK"
+  else
+    say "$name: FAILED rc=$? (see $STG/$name.err)"
+  fi
+}
+
+# 1. perf record (bench.py is itself outage-proof and always emits JSON)
+run_step bench_r5 3600 python bench.py
+
+# 2. bf16+SR flagship quality, 2 seeds (VERDICT item 4). Default matmul
+#    precision = the fast mode as a user would run it; crash-safe ckpts.
+for s in 0 1; do
+  run_step bf16sr_seed$s 5400 python benchmarks/quality_multimodal.py \
+    --dtype bfloat16 --seed $s --matmul-precision default \
+    --ckpt-dir "$STG/ckpt_bf16_s$s"
+done
+
+# 3. bimodal robustness seeds 5-10 (VERDICT item 5)
+for s in 5 6 7 8 9 10; do
+  run_step bimodal_seed$s 3600 python benchmarks/quality_bimodal.py \
+    --seed $s
+done
+
+say "queue complete"
