@@ -52,4 +52,16 @@ for s in 5 6 7 8 9 10; do
     --seed $s
 done
 
+# 4. per-round TPU obligations missed in r4 (VERDICT item 6):
+#    kernel tests at HEAD on the real chip ...
+run_step pallas_tpu 3600 env IDBN_TESTS_ON_TPU=1 \
+  python -m pytest tests/test_pallas.py tests/test_pallas_chain.py -q
+
+#    ... and a fresh flagship head-to-head ours-side eval at HEAD
+#    (3 seeds, default precision, ~5 min/seed; crash-safe ckpts)
+run_step h2h_head 14400 python benchmarks/reference_head_to_head.py \
+  --flagship --roles ours --seeds 0 1 2 --ours-tpu --jobs 1 \
+  --seed-retries 2 --ckpt-dir "$STG/ckpt_h2h_head" \
+  --out "$STG/h2h_r5_head.json"
+
 say "queue complete"
