@@ -423,6 +423,10 @@ def main():
     extras = {}
     torch_epoch = None
     try:
+        if os.environ.get("BENCH_SKIP_TORCH") == "1":
+            # Test hook only (tests/test_bench_cli.py): lets the outage
+            # drill run in seconds without the multi-minute torch epoch.
+            raise RuntimeError("BENCH_SKIP_TORCH=1")
         torch_epoch = bench_torch_cpu()
         if calib is not None:
             drift = torch_epoch / calib

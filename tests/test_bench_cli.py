@@ -1,0 +1,53 @@
+"""bench.py CLI contract: one parseable JSON line on EVERY exit path.
+
+Round 4's BENCH_r04.json was rc=1/parsed:null because bench.py died
+inside backend init during an axon outage without emitting anything
+(VERDICT r4 weak #1). The driver's round-end capture depends on exactly
+one JSON line on stdout no matter what the TPU tunnel does, so the
+outage path is pinned here as a fast subprocess test (BENCH_SKIP_TORCH
+avoids the multi-minute torch-CPU denominator; the real denominator
+path is exercised by the round's live bench runs).
+"""
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def test_outage_path_emits_one_json_line():
+    env = dict(os.environ)
+    env["BENCH_SIMULATE_OUTAGE"] = "1"
+    env["BENCH_SKIP_TORCH"] = "1"
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True, timeout=120)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, f"stdout must be exactly one line: {lines!r}"
+    payload = json.loads(lines[0])
+    # The driver parses these fields; value stays null in an outage but
+    # the line itself must parse (BENCH_r04's failure mode).
+    assert payload["metric"] == "idbn_cd1_epoch_time_10000-1500-500_b128"
+    assert payload["value"] is None
+    assert payload["error"] == "tpu_unavailable"
+    assert "vs_baseline" in payload
+
+
+def test_outage_path_keeps_torch_denominator_keys_optional():
+    # With the torch side skipped, the line must still be well-formed
+    # (no partially-written extras); drift keys appear only when the
+    # live torch epoch actually ran.
+    env = dict(os.environ)
+    env["BENCH_SIMULATE_OUTAGE"] = "1"
+    env["BENCH_SKIP_TORCH"] = "1"
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        env=env, stdout=subprocess.PIPE, text=True, timeout=120)
+    payload = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert "torch_cpu_live_epoch_s" not in payload
+    assert "torch_cpu_drift" not in payload
