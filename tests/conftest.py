@@ -29,24 +29,46 @@ if not _ON_TPU:
 # a process killed mid-write leaves a truncated cache entry that ABORTS
 # (uncatchable Fatal Python error in compilation_cache
 # .get_executable_and_time) the next reader. The marker is written at
-# session start and removed at clean session end, so its presence means
-# the last session was killed and the cache may hold a torn entry.
-# (Cost of a false positive — a session killed outside a write — is one
-# cold-cache rebuild. Two concurrent pytest sessions would false-trigger
-# this; CLAUDE.md already forbids those for memory-pressure reasons.)
+# session start and removed at clean session end, so a marker whose PID
+# is DEAD means the last session was killed and the cache may hold a
+# torn entry. A marker whose PID is still ALIVE means another pytest
+# session is running right now — quarantining would yank the live cache
+# from under it (observed r5: a quick side pytest cold-started a
+# 25-minute full-suite run), so this session sidesteps into its own
+# per-PID cache dir instead and leaves the running session alone.
+# (Cost of a dead-PID false positive — a session killed outside a
+# write — is one cold-cache rebuild.)
 import pathlib  # noqa: E402
 
 _TEST_CACHE = pathlib.Path("/tmp/jax_cache_tests")
 _INFLIGHT_MARK = _TEST_CACHE / ".pytest_inflight"
+_OWN_MARK = True
+
+
+def _pid_alive(pid_text: str) -> bool:
+    try:
+        os.kill(int(pid_text), 0)
+        return True
+    except (ValueError, ProcessLookupError, PermissionError):
+        return False
+
+
 if _INFLIGHT_MARK.exists():
-    _TEST_CACHE.rename(
-        f"/tmp/jax_cache_tests.quarantined.{os.getpid()}")
+    if _pid_alive(_INFLIGHT_MARK.read_text().strip()):
+        _TEST_CACHE = pathlib.Path(
+            f"/tmp/jax_cache_tests.concurrent.{os.getpid()}")
+        _OWN_MARK = False  # the running session owns the shared marker
+    else:
+        _TEST_CACHE.rename(
+            f"/tmp/jax_cache_tests.quarantined.{os.getpid()}")
 _TEST_CACHE.mkdir(parents=True, exist_ok=True)
-_INFLIGHT_MARK.write_text(str(os.getpid()))
+if _OWN_MARK:
+    _INFLIGHT_MARK.write_text(str(os.getpid()))
 
 
 def pytest_sessionfinish(session, exitstatus):
-    _INFLIGHT_MARK.unlink(missing_ok=True)
+    if _OWN_MARK:
+        _INFLIGHT_MARK.unlink(missing_ok=True)
 
 
 import jax  # noqa: E402
@@ -63,7 +85,7 @@ jax.config.update("jax_threefry_partitionable", True)
 # jobs whose processes sometimes die mid-write (axon drops), and a
 # truncated entry aborts the whole pytest process inside
 # compilation_cache.get_executable_and_time (observed r4).
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
+jax.config.update("jax_compilation_cache_dir", str(_TEST_CACHE))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # Full-precision f32 matmuls so golden tests compare against the NumPy
 # oracle exactly; production training CLIs pin "highest" too (config
