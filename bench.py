@@ -365,9 +365,10 @@ def probe_backend(attempts=None, probe_timeout=None):
     ``jax.devices()`` killed the whole bench with no JSON line. The
     probe keeps each attempt bounded and the parent process clean.
     """
-    attempts = attempts or int(os.environ.get("BENCH_PROBE_ATTEMPTS", 3))
-    probe_timeout = probe_timeout or int(
-        os.environ.get("BENCH_PROBE_TIMEOUT_S", 300))
+    if attempts is None:
+        attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", 3))
+    if probe_timeout is None:
+        probe_timeout = int(os.environ.get("BENCH_PROBE_TIMEOUT_S", 300))
     for i in range(attempts):
         t0 = time.perf_counter()
         try:

@@ -77,14 +77,22 @@ def main():
             merged["schedule"] = d.get("schedule")
         for role in roles:
             # dict.update would silently overwrite an overlapping seed
-            # while the seeds list double-counts it — refuse instead
-            dup = set(merged[role]) & set(d.get(role, {}))
+            # while the seeds list double-counts it — refuse instead.
+            # A null entry is a FAILED run, not a result: a later file
+            # carrying the retried seed may fill it in (and a later
+            # null must not clobber an earlier result).
+            incoming = d.get(role, {})
+            dup = {s for s in set(merged[role]) & set(incoming)
+                   if merged[role][s] is not None
+                   and incoming[s] is not None}
             if dup:
                 sys.exit(f"error: {path} repeats {role} seed(s) "
                          f"{sorted(dup)} already merged from an earlier "
                          f"file — merge inputs must have disjoint seeds "
                          f"(or use path:ref / path:ours to pick a side)")
-            merged[role].update(d.get(role, {}))
+            for s, r in incoming.items():
+                if r is not None or s not in merged[role]:
+                    merged[role][s] = r
     # Only seeds with a RESULT: null entries (failed runs) would make
     # the seeds summary overstate usable sample counts vs stats
     # n_ref/n_ours (r4 advisor finding).

@@ -484,6 +484,17 @@ def main():
     def is_tpu(role):
         return args.ours_tpu and role == "ours"
 
+    def write_partial(partial):
+        """One schema for every snapshot of --out (retry-path and
+        completion-path snapshots must never drift apart)."""
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump({"schedule": s, "seeds": args.seeds,
+                           "matmul_precision": args.matmul_precision,
+                           "partial": partial,
+                           "ref": results["ref"],
+                           "ours": results["ours"]}, f)
+
     while pending or running:
         launched = True
         while pending and len(running) < args.jobs and launched:
@@ -527,15 +538,7 @@ def main():
                             + (" from its checkpoint" if is_tpu(role)
                                else ""))
                         pending.append((role, seed))
-                        if args.out:  # keep the partial fresh here too
-                            with open(args.out, "w") as f:
-                                json.dump(
-                                    {"schedule": s, "seeds": args.seeds,
-                                     "matmul_precision":
-                                         args.matmul_precision,
-                                     "partial": True,
-                                     "ref": results["ref"],
-                                     "ours": results["ours"]}, f)
+                        write_partial(True)  # keep the partial fresh
                         continue
                     log(f"[h2h] {role} seed {seed} FAILED rc="
                         f"{proc.returncode} (log in {outdir})")
@@ -544,14 +547,8 @@ def main():
                     results[role][seed] = json.loads(out.splitlines()[-1])
                     log(f"[h2h] {role} seed {seed}: "
                         f"{results[role][seed]}")
-                if args.out:  # survive interruption of long runs
-                    with open(args.out, "w") as f:
-                        json.dump({"schedule": s, "seeds": args.seeds,
-                                   "matmul_precision":
-                                       args.matmul_precision,
-                                   "partial": bool(pending or running),
-                                   "ref": results["ref"],
-                                   "ours": results["ours"]}, f)
+                # survive interruption of long runs
+                write_partial(bool(pending or running))
         time.sleep(2)
 
     metrics = ("top1", "top3", "ce", "image_mse", "recon_mse",

@@ -30,11 +30,13 @@ run_step() { # run_step <name> <timeout_s> <cmd...> — up to 3 attempts
   for a in 1 2 3; do
     probe
     say "$name: start (attempt $a)"
-    if timeout -k 30 "$tmo" "$@" > "$STG/$name.json" 2> "$STG/$name.err"
-    then
+    local rc=0
+    timeout -k 30 "$tmo" "$@" > "$STG/$name.json" 2> "$STG/$name.err" \
+      || rc=$?
+    if [ "$rc" -eq 0 ]; then
       touch "$STG/$name.done"; say "$name: OK"; return 0
     fi
-    say "$name: FAILED rc=$? on attempt $a (see $STG/$name.err)"
+    say "$name: FAILED rc=$rc on attempt $a (see $STG/$name.err)"
   done
 }
 

@@ -21,7 +21,8 @@ from multimodal_idbn_tpu.checkpoint import (align_loader_for_resume,
                                             checkpoint_epochs,
                                             maybe_save_train_checkpoint)
 from multimodal_idbn_tpu.models.idbn import iDBN
-from multimodal_idbn_tpu.models.rbm import RBM, as_array, param_sr
+from multimodal_idbn_tpu.models.rbm import (RBM, as_array, param_dtype,
+                                            param_sr)
 from multimodal_idbn_tpu.ops import bimodal_ops
 from multimodal_idbn_tpu.utils.wandb_compat import wandb
 
@@ -432,6 +433,7 @@ class iMDBN_BiModal:
                 softmax_groups=[],
                 seed=(None if self._seed is None
                       else self._seed + 2000 + i),
+                dtype=param_dtype(self.params),
                 sr=param_sr(self.params),
             )
             self.joint_layers.append(rbm)
@@ -532,10 +534,12 @@ class iMDBN_BiModal:
         mean_z1 = jnp.clip(sum_z1 / n, 1e-4, 1 - 1e-4)
         mean_z2 = jnp.clip(sum_z2 / n, 1e-4, 1 - 1e-4)
         vb = self.joint_layers[0].vis_bias
-        vb = vb.at[:self.Dz_mod1].set(jnp.log(mean_z1)
-                                      - jnp.log1p(-mean_z1))
-        vb = vb.at[self.Dz_mod1:].set(jnp.log(mean_z2)
-                                      - jnp.log1p(-mean_z2))
+        # cast stats to the storage dtype (scatter of f32 into bf16
+        # warns today and errors in future JAX — same fix as iMDBN)
+        vb = vb.at[:self.Dz_mod1].set(jnp.asarray(
+            jnp.log(mean_z1) - jnp.log1p(-mean_z1), vb.dtype))
+        vb = vb.at[self.Dz_mod1:].set(jnp.asarray(
+            jnp.log(mean_z2) - jnp.log1p(-mean_z2), vb.dtype))
         self.joint_layers[0].vis_bias = vb
 
     # -- inference (reference :647-709) ----------------------------------------

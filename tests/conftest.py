@@ -49,21 +49,46 @@ def _pid_alive(pid_text: str) -> bool:
     try:
         os.kill(int(pid_text), 0)
         return True
-    except (ValueError, ProcessLookupError, PermissionError):
+    except (ValueError, ProcessLookupError):
         return False
+    except PermissionError:
+        return True  # signal refused => the process EXISTS (other user)
 
 
-if _INFLIGHT_MARK.exists():
-    if _pid_alive(_INFLIGHT_MARK.read_text().strip()):
-        _TEST_CACHE = pathlib.Path(
-            f"/tmp/jax_cache_tests.concurrent.{os.getpid()}")
-        _OWN_MARK = False  # the running session owns the shared marker
+def _sidestep_to_private_cache():
+    global _TEST_CACHE, _OWN_MARK
+    _TEST_CACHE = pathlib.Path(
+        f"/tmp/jax_cache_tests.concurrent.{os.getpid()}")
+    _OWN_MARK = False  # the running session owns the shared marker
+
+
+# Every step below races against concurrently starting/finishing
+# sessions (the marker can vanish between exists() and read, two
+# sessions can both see a dead marker, ...) — so each step tolerates
+# losing its race instead of aborting pytest during conftest import.
+try:
+    _marker_pid = _INFLIGHT_MARK.read_text().strip()
+except FileNotFoundError:
+    _marker_pid = None  # no live session
+except OSError:
+    _marker_pid = ""  # unreadable marker: treat as a dead session
+if _marker_pid is not None:
+    if _pid_alive(_marker_pid):
+        _sidestep_to_private_cache()
     else:
-        _TEST_CACHE.rename(
-            f"/tmp/jax_cache_tests.quarantined.{os.getpid()}")
+        try:
+            _TEST_CACHE.rename(
+                f"/tmp/jax_cache_tests.quarantined.{os.getpid()}")
+        except OSError:
+            pass  # a racing session quarantined it first
 _TEST_CACHE.mkdir(parents=True, exist_ok=True)
 if _OWN_MARK:
-    _INFLIGHT_MARK.write_text(str(os.getpid()))
+    try:  # 'x' = atomic claim; exactly one racing session wins
+        with open(_INFLIGHT_MARK, "x") as _f:
+            _f.write(str(os.getpid()))
+    except FileExistsError:
+        _sidestep_to_private_cache()
+        _TEST_CACHE.mkdir(parents=True, exist_ok=True)
 
 
 def pytest_sessionfinish(session, exitstatus):

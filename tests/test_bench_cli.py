@@ -38,6 +38,21 @@ def test_outage_path_emits_one_json_line():
     assert "vs_baseline" in payload
 
 
+def test_probe_backend_zero_attempts_means_no_probes():
+    """attempts=0 must mean 'no probes, fail fast' — not fall through
+    to the env/default probe budget (a falsy-or bug would burn up to
+    3 x 300 s of probe subprocesses)."""
+    sys.path.insert(0, str(REPO))
+    try:
+        import bench
+    finally:
+        sys.path.remove(str(REPO))
+    import time
+    t0 = time.perf_counter()
+    assert bench.probe_backend(attempts=0) is False
+    assert time.perf_counter() - t0 < 5  # no subprocess was spawned
+
+
 def test_outage_path_keeps_torch_denominator_keys_optional():
     # With the torch side skipped, the line must still be well-formed
     # (no partially-written extras); drift keys appear only when the

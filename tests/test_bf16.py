@@ -118,6 +118,31 @@ def test_model_level_dtype_param():
     assert np.isfinite(float(m.image_idbn.loss_history[-1]))
 
 
+def test_bimodal_joint_dtype_and_sr_from_params():
+    """The dtype/SR knobs must reach the BIMODAL joint stack too — the
+    round-5 YAML plumbing originally threaded sr but not dtype into
+    _build_joint, leaving the joint layers f32 (where SR is a no-op)
+    while the modality DBNs trained in bf16."""
+    from multimodal_idbn_tpu.data import create_dataloaders_uniform
+    from multimodal_idbn_tpu.models import iMDBN_BiModal
+
+    params = {"LEARNING_RATE": 0.1, "WEIGHT_PENALTY": 1e-4,
+              "INIT_MOMENTUM": 0.5, "FINAL_MOMENTUM": 0.9,
+              "LEARNING_RATE_DYNAMIC": True, "CD": 1, "JOINT_CD": 1,
+              "JOINT_LEARNING_RATE": 0.04, "CROSS_GIBBS_STEPS": 3,
+              "JOINT_AUX_COND_STEPS": 3,
+              "DTYPE": "bfloat16", "SR": True}
+    train, val, _ = create_dataloaders_uniform(
+        batch_size=16, n_samples=48, num_classes=4, side=10, seed=0,
+        second_modality="mnist100")
+    m = iMDBN_BiModal([100, 16], [28 * 56, 16], [12], params=params,
+                      dataloader=train, val_loader=val, seed=0)
+    for rbm in (m.mod1_dbn.layers[0], m.mod2_dbn.layers[0],
+                m.joint_layers[0]):
+        assert rbm.state.w.dtype == jnp.bfloat16
+        assert rbm.sr is True
+
+
 def test_stochastic_round_unbiased_and_adjacent():
     """SR must return one of the two bf16 neighbors of x, with the
     sample mean converging to x (unbiasedness is the whole point)."""

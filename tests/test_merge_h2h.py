@@ -61,6 +61,37 @@ def test_merge_cli_merges_and_reports(tmp_path):
     assert out2.returncode != 0
 
 
+def test_merge_cli_null_seed_can_be_retried(tmp_path):
+    """A null entry is a FAILED run, not a result: a later file with the
+    retried seed fills it in (and a later null never clobbers an earlier
+    result) — only two non-null results for the same seed refuse."""
+    run1 = {"schedule": {"x": 1}, "seeds": [0, 1],
+            "ref": {"0": {"top1": 0.5}},
+            "ours": {"0": {"top1": 0.55}, "1": None}}  # seed 1 died
+    retry = {"schedule": {"x": 1}, "seeds": [1],
+             "ref": {}, "ours": {"1": {"top1": 0.6}, "0": None}}
+    f1, f2 = tmp_path / "run1.json", tmp_path / "retry.json"
+    f1.write_text(json.dumps(run1)); f2.write_text(json.dumps(retry))
+    out = subprocess.run(
+        [sys.executable, str(REPO / "benchmarks" / "merge_h2h.py"),
+         str(f1), str(f2)], capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr
+    merged = json.loads(out.stdout)
+    assert merged["ours"]["1"]["top1"] == 0.6  # retry filled the null
+    assert merged["ours"]["0"]["top1"] == 0.55  # null didn't clobber
+    assert merged["seeds"]["ours"] == ["0", "1"]
+    # two non-null results for the same seed still refuse
+    conflict = {"schedule": {"x": 1}, "seeds": [0],
+                "ref": {}, "ours": {"0": {"top1": 0.9}}}
+    f3 = tmp_path / "conflict.json"
+    f3.write_text(json.dumps(conflict))
+    out2 = subprocess.run(
+        [sys.executable, str(REPO / "benchmarks" / "merge_h2h.py"),
+         str(f1), str(f3)], capture_output=True, text=True)
+    assert out2.returncode != 0
+    assert "seed(s) ['0']" in out2.stderr
+
+
 def test_merge_cli_role_filter(tmp_path):
     """path:ref / path:ours take one side of a file, so a fresh ours
     rerun with overlapping seed numbers can replace stale entries."""
