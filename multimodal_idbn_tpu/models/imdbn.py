@@ -23,8 +23,8 @@ from multimodal_idbn_tpu.checkpoint import (align_loader_for_resume,
                                             checkpoint_epochs,
                                             maybe_save_train_checkpoint)
 from multimodal_idbn_tpu.models.idbn import iDBN
-from multimodal_idbn_tpu.models.rbm import (RBM, as_array, param_dtype,
-                                            param_sr)
+from multimodal_idbn_tpu.models.rbm import (RBM, _warn_compute_dtype_joint,
+                                            as_array, param_dtype, param_sr)
 from multimodal_idbn_tpu.ops import imdbn_ops
 
 # Hardcoded in the reference (imdbn.py:540).
@@ -181,6 +181,7 @@ class iMDBN:
             dtype=param_dtype(self.params),
             sr=param_sr(self.params),
         )
+        _warn_compute_dtype_joint(self.params, "iMDBN")
 
     def _joint_groups(self) -> Tuple[Tuple[int, int], ...]:
         return ((self.Dz_img, self.Dz_img + self.num_labels),)

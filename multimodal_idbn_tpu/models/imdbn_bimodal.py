@@ -21,8 +21,8 @@ from multimodal_idbn_tpu.checkpoint import (align_loader_for_resume,
                                             checkpoint_epochs,
                                             maybe_save_train_checkpoint)
 from multimodal_idbn_tpu.models.idbn import iDBN
-from multimodal_idbn_tpu.models.rbm import (RBM, as_array, param_dtype,
-                                            param_sr)
+from multimodal_idbn_tpu.models.rbm import (RBM, _warn_compute_dtype_joint,
+                                            as_array, param_dtype, param_sr)
 from multimodal_idbn_tpu.ops import bimodal_ops
 from multimodal_idbn_tpu.utils.wandb_compat import wandb
 
@@ -440,6 +440,7 @@ class iMDBN_BiModal:
             current_visible = int(hidden_size)
         self.joint_rbm = self.joint_layers[0]
         self.num_joint_layers = len(self.joint_layers)
+        _warn_compute_dtype_joint(self.params, "iMDBN_BiModal")
 
     # -- pretrained loading (reference :577-614) ------------------------------
 

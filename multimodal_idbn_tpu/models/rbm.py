@@ -104,6 +104,21 @@ def param_sr(params: dict):
     raise ValueError(f"unsupported SR {val!r} (auto | true | false)")
 
 
+def _warn_compute_dtype_joint(params: dict, family: str) -> None:
+    """LOG-ONLY notice at multimodal construction when COMPUTE_DTYPE is
+    set: mixed precision applies to the modality iDBN stacks only — the
+    joint layers train at the storage dtype (mixed precision is a
+    documented-negative opt-in, benchmarks/RESULTS.md round-2 study, so
+    the joint path intentionally stays bit-exact). Without this note a
+    config setting ``training.compute_dtype: bfloat16`` would silently
+    apply to half the model and mis-attribute any precision effect."""
+    if param_compute_dtype(params) is not None:
+        print(f"[{family}] warn/compute_dtype_joint: COMPUTE_DTYPE "
+              f"applies to the modality iDBN stacks only; the joint "
+              f"layers train at the storage dtype "
+              f"({param_dtype(params).__name__}).")
+
+
 def as_array(x, dtype=jnp.float32) -> Array:
     """Convert numpy / jax / torch-CPU inputs to a 2-D float device array."""
     if hasattr(x, "detach"):  # torch tensor without importing torch

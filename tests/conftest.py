@@ -66,16 +66,35 @@ def _sidestep_to_private_cache():
 # sessions (the marker can vanish between exists() and read, two
 # sessions can both see a dead marker, ...) — so each step tolerates
 # losing its race instead of aborting pytest during conftest import.
-try:
-    _marker_pid = _INFLIGHT_MARK.read_text().strip()
-except FileNotFoundError:
-    _marker_pid = None  # no live session
-except OSError:
-    _marker_pid = ""  # unreadable marker: treat as a dead session
+def _read_marker():
+    try:
+        return _INFLIGHT_MARK.read_text().strip()
+    except FileNotFoundError:
+        return None  # no live session
+    except OSError:
+        return ""  # unreadable marker: treat as a dead session
+
+
+def _marker_stale() -> bool:
+    # A liveness bound: no legitimate pytest session runs 6 h. Without
+    # it, a killed session's pid recycled by a long-lived process we
+    # can't signal (PermissionError => "alive") would lock every future
+    # session into cold per-pid caches forever.
+    import time
+    try:
+        return time.time() - _INFLIGHT_MARK.stat().st_mtime > 6 * 3600
+    except OSError:
+        return True
+
+
+_marker_pid = _read_marker()
 if _marker_pid is not None:
-    if _pid_alive(_marker_pid):
+    if _pid_alive(_marker_pid) and not _marker_stale():
         _sidestep_to_private_cache()
-    else:
+    # Re-read immediately before acting: a racing session may already
+    # have quarantined the dir, recreated it, and claimed it (its new
+    # LIVE pid must not be renamed away with the old dead one).
+    elif _read_marker() == _marker_pid:
         try:
             _TEST_CACHE.rename(
                 f"/tmp/jax_cache_tests.quarantined.{os.getpid()}")

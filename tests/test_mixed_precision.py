@@ -117,6 +117,31 @@ def test_idbn_param_plumbing():
     assert np.isfinite(model.loss_history).all()
 
 
+def test_compute_dtype_joint_scope_is_loud(capsys):
+    """COMPUTE_DTYPE reaches only the modality iDBN stacks; the joint
+    layers intentionally stay at the storage dtype (mixed precision is
+    a documented-negative opt-in). Multimodal constructors must SAY so
+    instead of silently applying the knob to half the model."""
+    from multimodal_idbn_tpu.data import create_dataloaders_uniform
+    from multimodal_idbn_tpu.models import iMDBN
+
+    params = {"LEARNING_RATE": 0.1, "WEIGHT_PENALTY": 1e-4,
+              "INIT_MOMENTUM": 0.5, "FINAL_MOMENTUM": 0.9,
+              "LEARNING_RATE_DYNAMIC": True, "CD": 1,
+              "CROSS_GIBBS_STEPS": 3, "JOINT_AUX_COND_STEPS": 3,
+              "COMPUTE_DTYPE": "bfloat16"}
+    train, val, _ = create_dataloaders_uniform(
+        batch_size=16, n_samples=48, num_classes=4, side=10, seed=0)
+    iMDBN([100, 16, 8], 10, params=params, dataloader=train,
+          val_loader=val, num_labels=4, seed=0)
+    assert "warn/compute_dtype_joint" in capsys.readouterr().out
+    # and silence without the knob
+    params.pop("COMPUTE_DTYPE")
+    iMDBN([100, 16, 8], 10, params=params, dataloader=train,
+          val_loader=val, num_labels=4, seed=0)
+    assert "warn/compute_dtype_joint" not in capsys.readouterr().out
+
+
 def test_blocked_vs_per_epoch_parity_mixed():
     """Epoch-blocked == per-epoch under mixed precision (CLAUDE.md
     invariant extends to every compute mode)."""
